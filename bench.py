@@ -1,0 +1,83 @@
+"""Headline benchmark: batched n=4 High-precision QFloat inversions/s/chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "inversions/s", "vs_baseline": N/1e5}
+
+Baseline target (BASELINE.md): >= 1e5 batched n=4 High-precision inversions
+per second per TPU v5e chip.  The measured step is the full compiled device
+program: digit/sign tensors in -> inverse digit/sign tensors out (packed
+int64 backend).  Host-side quantization is pipelined/amortized in production
+and excluded here.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from matrix_inversion_tpu import HIGH
+    from matrix_inversion_tpu.models.marshal import float_matrix_to_qfloat_arrays
+    from matrix_inversion_tpu.runtime.api import BatchedMatrixInversion
+
+    platform = jax.devices()[0].platform
+    on_tpu = platform not in ("cpu",)
+    batch = int(os.environ.get("BENCH_BATCH", 65536 if on_tpu else 256))
+    reps = int(os.environ.get("BENCH_REPS", 8 if on_tpu else 2))
+
+    params = HIGH.replace(n=4)
+    t0 = time.time()
+    inv = BatchedMatrixInversion(params, batch, backend="packed")
+    compile_s = time.time() - t0
+
+    rng = np.random.RandomState(0)
+    M = rng.randn(batch, 4, 4) * 100
+    digits, signs = float_matrix_to_qfloat_arrays(
+        M, params.qfloat_len, params.qfloat_ints, params.qfloat_base
+    )
+    digits = jax.device_put(jnp.asarray(digits))
+    signs = jax.device_put(jnp.asarray(signs))
+
+    def sync(x):
+        # force completion: block AND fetch one element to host (the axon
+        # tunnel's block_until_ready alone is not a reliable fence)
+        jax.block_until_ready(x)
+        return np.asarray(x[0, 0, 0])
+
+    # warmup
+    sync(inv.run_raw(digits, signs))
+
+    t0 = time.time()
+    for _ in range(reps):
+        out = inv.run_raw(digits, signs)
+        sync(out)
+    elapsed = time.time() - t0
+    throughput = batch * reps / elapsed
+
+    # correctness spot check on a slice
+    res = inv.dequantize(np.asarray(out)[:64])
+    err = float(np.mean(np.abs(res - np.linalg.inv(M[:64]))))
+
+    result = {
+        "metric": "n4_high_precision_inversions_per_s_per_chip",
+        "value": round(throughput, 1),
+        "unit": "inversions/s",
+        "vs_baseline": round(throughput / 1e5, 4),
+        "batch": batch,
+        "reps": reps,
+        "elapsed_s": round(elapsed, 4),
+        "compile_s": round(compile_s, 2),
+        "mean_abs_error": err,
+        "platform": platform,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

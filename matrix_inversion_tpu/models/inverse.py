@@ -1,0 +1,106 @@
+"""Circuit entry points: full inverse and the partial pivot/L/U circuits.
+
+Mirrors reference qfloat_matrix_inversion.py:592-720.  These functions are
+the jittable bodies: digit/sign tensors in, digit tensors out, with all
+QFloat object machinery existing only at trace time.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .marshal import (
+    qfloat_arrays_to_qfloat_matrix,
+    qfloat_matrix_to_arrays_and_signs,
+)
+from .qfloat_lu import (
+    qfloat_inverse_2x2,
+    qfloat_inverse_2x2_multi,
+    qfloat_lu_decomposition,
+    qfloat_lu_inverse,
+    qfloat_pivot_matrix,
+)
+
+
+def _check_shapes(qfloat_arrays, n, qfloat_len):
+    assert n * n == qfloat_arrays.shape[-2]
+    assert qfloat_len == qfloat_arrays.shape[-1]
+
+
+def qfloat_matrix_inverse(
+    qfloat_arrays,
+    qfloat_signs,
+    n,
+    qfloat_len,
+    qfloat_ints,
+    qfloat_base,
+    true_division,
+    tensorize=False,
+    backend="limb",
+):
+    """Full inverse circuit body (reference qfloat_matrix_inversion.py:672-720).
+
+    Input: ``(..., n*n, len)`` digit arrays + ``(..., n*n)`` signs.
+    Output: ``(..., n*n, len+1)`` digit arrays with the sign appended.
+    """
+    _check_shapes(qfloat_arrays, n, qfloat_len)
+    qfloat_M = qfloat_arrays_to_qfloat_matrix(
+        qfloat_arrays, qfloat_signs, qfloat_ints, qfloat_base, backend
+    )
+
+    if n == 2:
+        if tensorize:
+            qfloat_Minv = qfloat_inverse_2x2_multi(qfloat_M, qfloat_len, qfloat_ints)
+        else:
+            qfloat_Minv = qfloat_inverse_2x2(qfloat_M, qfloat_len, qfloat_ints)
+    else:
+        bin_P, qfloat_L, qfloat_U = qfloat_lu_decomposition(
+            qfloat_M, qfloat_len, qfloat_ints, true_division, tensorize
+        )
+        qfloat_Minv = qfloat_lu_inverse(
+            bin_P, qfloat_L, qfloat_U, qfloat_len, qfloat_ints, true_division, tensorize
+        )
+
+    return qfloat_matrix_to_arrays_and_signs(
+        qfloat_Minv, qfloat_len, qfloat_ints, qfloat_base
+    )
+
+
+def qfloat_pivot(qfloat_arrays, qfloat_signs, params, backend="limb"):
+    """Pivot-only partial circuit (reference qfloat_matrix_inversion.py:592-609)."""
+    [n, qfloat_len, qfloat_ints, qfloat_base, *_] = params
+    _check_shapes(qfloat_arrays, n, qfloat_len)
+    qfloat_M = qfloat_arrays_to_qfloat_matrix(
+        qfloat_arrays, qfloat_signs, qfloat_ints, qfloat_base, backend
+    )
+    return qfloat_pivot_matrix(qfloat_M)
+
+
+def qfloat_lu_L(qfloat_arrays, qfloat_signs, params, backend="limb"):
+    """PLU partial circuit returning L (reference qfloat_matrix_inversion.py:612-639)."""
+    [n, qfloat_len, qfloat_ints, qfloat_base, true_division, *_] = params
+    _check_shapes(qfloat_arrays, n, qfloat_len)
+    qfloat_M = qfloat_arrays_to_qfloat_matrix(
+        qfloat_arrays, qfloat_signs, qfloat_ints, qfloat_base, backend
+    )
+    _, qfloat_L, _ = qfloat_lu_decomposition(
+        qfloat_M, qfloat_len, qfloat_ints, true_division
+    )
+    return qfloat_matrix_to_arrays_and_signs(
+        qfloat_L, qfloat_len, qfloat_ints, qfloat_base
+    )
+
+
+def qfloat_lu_U(qfloat_arrays, qfloat_signs, params, backend="limb"):
+    """PLU partial circuit returning U (reference qfloat_matrix_inversion.py:642-669)."""
+    [n, qfloat_len, qfloat_ints, qfloat_base, true_division, *_] = params
+    _check_shapes(qfloat_arrays, n, qfloat_len)
+    qfloat_M = qfloat_arrays_to_qfloat_matrix(
+        qfloat_arrays, qfloat_signs, qfloat_ints, qfloat_base, backend
+    )
+    _, _, qfloat_U = qfloat_lu_decomposition(
+        qfloat_M, qfloat_len, qfloat_ints, true_division
+    )
+    return qfloat_matrix_to_arrays_and_signs(
+        qfloat_U, qfloat_len, qfloat_ints, qfloat_base
+    )

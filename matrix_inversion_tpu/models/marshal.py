@@ -1,0 +1,122 @@
+"""Marshalling between float matrices, digit-array I/O, and QFloat matrices.
+
+Mirrors reference qfloat_matrix_inversion.py:222-309 with two TPU-first
+changes:
+
+* every converter accepts leading batch dimensions (``(..., n*n, len)``
+  instead of ``(n*n, len)``), since batched inversion is the primary
+  execution model;
+* the device-side converters can target either QFloat backend ("limb"
+  digit arrays or "packed" int64 magnitudes).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.qfloat import QFloat, QFloatBase, SignedBinary, Zero
+from ..ops import radix
+from ..ops.packed import PackedQFloat
+
+
+def float_matrix_to_qfloat_arrays(M, qfloat_len, qfloat_ints, qfloat_base):
+    """Float matrix (..., n, n) -> ((..., n*n, len) digits, (..., n*n) signs).
+
+    Host-side quantization (reference qfloat_matrix_inversion.py:222-236),
+    vectorized: one numpy pass for the whole batch.
+    """
+    M = np.asarray(M, dtype=np.float64)
+    batch = M.shape[:-2]
+    flat = M.reshape(batch + (-1,))
+    digits, signs = radix.float_to_digits_and_sign(
+        flat, qfloat_len, qfloat_ints, qfloat_base
+    )
+    return digits, signs
+
+
+def qfloat_arrays_to_qfloat_matrix(
+    qfloat_arrays, qfloat_signs, qfloat_ints, qfloat_base, backend="limb"
+):
+    """Digit/sign arrays -> n x n 2D list of QFloats (device side).
+
+    Reference qfloat_matrix_inversion.py:239-262; ``backend`` selects the
+    number representation used for the computation.
+    """
+    qfloat_arrays = jnp.asarray(qfloat_arrays)
+    n = int(np.sqrt(qfloat_arrays.shape[-2]))
+    M = []
+    index = 0
+    for _ in range(n):
+        row = []
+        for _ in range(n):
+            digits = qfloat_arrays[..., index, :]
+            sign = qfloat_signs[..., index]
+            if backend == "packed":
+                qf = PackedQFloat.from_digits(digits, qfloat_ints, qfloat_base, sign)
+            else:
+                qf = QFloat(digits, qfloat_ints, qfloat_base, True, sign)
+            row.append(qf)
+            index += 1
+        M.append(row)
+    return M
+
+
+def qfloat_matrix_to_arrays_and_signs(M, qfloat_len, qfloat_ints, qfloat_base):
+    """QFloat 2D-list matrix -> (..., n*n, len+1) output arrays.
+
+    The sign is appended as the last column; SignedBinary/Zero cells are
+    written as a scalar digit at position ``ints-1``
+    (reference qfloat_matrix_inversion.py:286-309).
+    """
+    n = len(M)
+    assert n == len(M[0])
+
+    # find batch shape and an array dtype from any QFloat cell
+    bshape = ()
+    for row in M:
+        for cell in row:
+            if isinstance(cell, QFloatBase):
+                bshape = cell.bshape
+                break
+
+    rows = []
+    for i in range(n):
+        for j in range(n):
+            cell = M[i][j]
+            if isinstance(cell, QFloatBase):
+                digits = cell.to_array().astype(jnp.int32)
+                digits = jnp.broadcast_to(digits, bshape + (qfloat_len,))
+                sign = jnp.broadcast_to(
+                    jnp.asarray(cell.sign, jnp.int32), bshape
+                )[..., None]
+                rows.append(jnp.concatenate([digits, sign], axis=-1))
+            elif isinstance(cell, SignedBinary):
+                v = jnp.broadcast_to(jnp.asarray(cell.value, jnp.int32), bshape)
+                out = jnp.zeros(bshape + (qfloat_len + 1,), jnp.int32)
+                out = out.at[..., qfloat_ints - 1].set(v)
+                out = out.at[..., qfloat_len].set(v)
+                rows.append(out)
+            elif isinstance(cell, Zero):
+                rows.append(jnp.zeros(bshape + (qfloat_len + 1,), jnp.int32))
+            else:
+                v = jnp.broadcast_to(jnp.asarray(cell, jnp.int32), bshape)
+                out = jnp.zeros(bshape + (qfloat_len + 1,), jnp.int32)
+                out = out.at[..., qfloat_ints - 1].set(v)
+                out = out.at[..., qfloat_len].set(jnp.sign(v))
+                rows.append(out)
+    return jnp.stack(rows, axis=-2)
+
+
+def qfloat_and_signs_arrays_to_float_matrix(qfloat_arrays, qfloat_ints, qfloat_base):
+    """(..., n*n, len+1) output arrays -> float matrix (..., n, n).
+
+    Host-side dequantization (reference qfloat_matrix_inversion.py:265-283),
+    vectorized over the batch.
+    """
+    arr = np.asarray(qfloat_arrays)
+    n = int(np.sqrt(arr.shape[-2]))
+    digits = arr[..., :-1]
+    signs = arr[..., -1]
+    values = radix.digits_and_sign_to_float(digits, signs, qfloat_ints, qfloat_base)
+    return values.reshape(values.shape[:-1] + (n, n))

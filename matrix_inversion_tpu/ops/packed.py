@@ -1,0 +1,465 @@
+"""Packed int64 QFloat backend — the TPU speed-of-light path.
+
+A *base-tidy* QFloat with ``base**len < 2**62`` is uniquely determined by
+``(magnitude, sign)`` where ``magnitude = sum_j digit_j * base**(L-1-j)``.
+For power-of-two bases this backend reproduces every reference semantic
+exactly (verified bit-for-bit against the limb backend in
+tests/test_packed_parity.py) while replacing O(L)–O(L^2) digit chains with
+O(1)–O(L) int64 scalar ops:
+
+=====================  ===============================  ====================
+reference operation     limb cost                        packed cost
+=====================  ===============================  ====================
+tidy / base_tidy        O(L) sequential carry scan       mask (free)
+add (qfloat.py:798)     carry scan + 2 borrow scans      1 add + mask
+compare (:711)          O(L) borrow scan                 1 compare
+mul (:955 from_mul)     O(L^2) partial products + scan   L shift/mask-accum
+divide (:1183/:1263)    O(L^2 (p-1)) subtract-select     L-step int64 loop
+=====================  ===============================  ====================
+
+Two semantics notes (why this is exact, not approximate):
+
+* ``from_mul`` crops each partial product to the output window *before*
+  summation (reference qfloat.py:997-1010) — not a value function of the
+  operands.  We reproduce it term by term with shifts and masks; partial
+  sums are accumulated in uint64 (wraparound ≡ mod 2^64) and the final
+  ``& mask`` equals the reference's dropped-carry base_tidy because
+  ``k * newlength <= 62 < 64``.
+* division by an (encrypted) zero saturates the quotient digits to
+  ``base-1`` (reference qfloat.py:1204-1209 and base_p_arrays.py:189-201);
+  the restoring loop below reproduces that naturally since ``r >= 0`` always
+  holds.
+"""
+
+from __future__ import annotations
+
+import numbers
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from ..core.qfloat import (
+    QFloatBase,
+    SignedBinary,
+    Zero,
+    Array,
+    _is_number_like,
+    _sign_of,
+    _check_invert_sign,
+)
+from . import radix
+
+MAG_DTYPE = jnp.int64
+
+
+def _digit_bits(base: int) -> int:
+    if base < 2 or base & (base - 1):
+        raise ValueError("packed backend requires a power-of-two base")
+    return base.bit_length() - 1
+
+
+class PackedQFloat(QFloatBase):
+    """int64-magnitude QFloat (power-of-two bases, ``base**len < 2**62``)."""
+
+    def __init__(self, mag, length, ints=None, base=2, sign=1):
+        self._length = int(length)
+        if ints is None:
+            ints = length // 2
+        self._ints = int(ints)
+        if not (0 <= self._ints <= self._length):
+            raise ValueError("ints must be in range [0, length]")
+        self._base = int(base)
+        self._bits = _digit_bits(self._base)
+        if self._bits * self._length > 62:
+            raise ValueError("encoding too wide for the packed backend")
+        self._mag = jnp.asarray(mag, dtype=MAG_DTYPE)
+        if isinstance(sign, float):
+            sign = int(sign)
+        self._sign = sign
+
+    # ---- shape / metadata -------------------------------------------------
+    def __len__(self):
+        return self._length
+
+    @property
+    def bshape(self):
+        return self._mag.shape
+
+    @property
+    def mag(self):
+        return self._mag
+
+    @property
+    def is_base_tidy(self):
+        return True  # packed QFloats are always normalized
+
+    @property
+    def encrypted(self):
+        return isinstance(self._mag, jax.Array)
+
+    def _mask(self, ndigits=None):
+        n = self._length if ndigits is None else ndigits
+        return (1 << (self._bits * n)) - 1
+
+    # ---- conversions ------------------------------------------------------
+    @classmethod
+    def from_float(cls, f, length=10, ints=None, base=2):
+        if ints is None:
+            ints = length // 2
+        digits, sign = radix.float_to_digits_and_sign(f, length, ints, base)
+        mag = radix.pack_digits(digits, base)
+        if np.ndim(sign) == 0:
+            sign = int(sign)
+            mag = int(mag)
+        return cls(mag, length, ints, base, sign)
+
+    @classmethod
+    def from_digits(cls, digits, ints=None, base=2, sign=1):
+        """Pack a (device) digit array [..., L] into magnitudes."""
+        digits = jnp.asarray(digits, dtype=MAG_DTYPE)
+        length = digits.shape[-1]
+        bits = _digit_bits(base)
+        place = jnp.asarray(
+            [1 << (bits * (length - 1 - j)) for j in range(length)], MAG_DTYPE
+        )
+        mag = jnp.sum(digits * place, axis=-1)
+        return cls(mag, length, ints, base, sign)
+
+    def to_digits(self):
+        """Unpack magnitudes to a digit array [..., L] (device)."""
+        shifts = jnp.asarray(
+            [self._bits * (self._length - 1 - j) for j in range(self._length)],
+            MAG_DTYPE,
+        )
+        return (
+            (self._mag[..., None] >> shifts) & (self._base - 1)
+        ).astype(jnp.int32)
+
+    def to_array(self):
+        return self.to_digits()
+
+    def to_float(self):
+        frac = self._length - self._ints
+        scale = float(self._base) ** (-frac)
+        return np.asarray(self._mag, dtype=np.float64) * scale * np.asarray(
+            self._sign, dtype=np.float64
+        )
+
+    def to_limb(self):
+        """Convert to the digit-array backend (for parity tests / any-base ops)."""
+        from ..core.qfloat import QFloat
+
+        return QFloat(self.to_digits(), self._ints, self._base, True, self._sign)
+
+    def to_str(self, tidy=True):
+        return self.to_limb().to_str(tidy)
+
+    def __str__(self):
+        return self.to_str(True)
+
+    # ---- factories --------------------------------------------------------
+    @classmethod
+    def zero(cls, length, ints, base, bshape=()):
+        return cls(jnp.zeros(bshape, MAG_DTYPE), length, ints, base, 1)
+
+    @classmethod
+    def zero_like(cls, other):
+        return cls.zero(len(other), other.ints, other.base, other.bshape)
+
+    @classmethod
+    def one(cls, length, ints, base, bshape=()):
+        bits = _digit_bits(base)
+        mag = jnp.full(bshape, 1 << (bits * (length - ints)), MAG_DTYPE)
+        return cls(mag, length, ints, base, 1)
+
+    @classmethod
+    def one_like(cls, other):
+        return cls.one(len(other), other.ints, other.base, other.bshape)
+
+    def copy(self):
+        return PackedQFloat(self._mag, self._length, self._ints, self._base, self._sign)
+
+    def set_len_ints(self, newlen, newints):
+        """Crop/pad semantics of reference qfloat.py:565-589 on magnitudes."""
+        mag = self._mag
+        length = self._length
+        if self._ints != newints:
+            if newints < self._ints:
+                # drop leading (ints - newints) digits -> mod base**remaining
+                length = length - (self._ints - newints)
+                mag = mag & self._mask(length)
+            else:
+                length = length + (newints - self._ints)
+            self._ints = int(newints)
+        difflen = int(newlen) - length
+        if difflen > 0:
+            mag = mag << (self._bits * difflen)
+        elif difflen < 0:
+            mag = mag >> (self._bits * (-difflen))
+        self._length = int(newlen)
+        self._mag = mag
+        return self
+
+    # ---- normalization (trivial here) -------------------------------------
+    def base_tidy(self):
+        return
+
+    def tidy(self):
+        return
+
+    def _tidy_signed(self, v):
+        """Signed value -> (mag, sign), the packed form of base_tidy + tidy.
+
+        Equals reference qfloat.py:607-673: overflow past the top digit is
+        dropped (mod base**L on the absolute value), sign of zero is +1.
+        """
+        mag = jnp.abs(v) & self._mask()
+        sign = jnp.where((v < 0) & (mag != 0), -1, 1).astype(MAG_DTYPE)
+        return mag, sign
+
+    # ---- comparisons ------------------------------------------------------
+    def __eq__(self, other):
+        self.check_compatibility(other)
+        return ((self._mag == other._mag) * 1) * ((self._sign == other._sign) * 1)
+
+    __hash__ = None
+
+    def __gt__(self, other):
+        """Reference qfloat.py:711-739 on magnitudes."""
+        self.check_compatibility(other)
+        sgn_eq = (self._sign == other._sign) * 1
+        self_gt_other = (self._mag > other._mag) * 1
+        inverse = ((self._sign < 0) * 1) * ((self._mag != other._mag) * 1)
+        return sgn_eq * (self_gt_other ^ inverse) + (1 - sgn_eq) * (
+            (self._sign > other._sign) * 1
+        )
+
+    # ---- addition ---------------------------------------------------------
+    def __iadd__(self, other):
+        if isinstance(other, Zero):
+            return self
+        QFloatBase.ADDITIONS += 1
+
+        v = self._mag * self._sign
+        if isinstance(other, SignedBinary):
+            v = v + jnp.asarray(other.value, MAG_DTYPE) * (
+                1 << (self._bits * (self._length - self._ints))
+            )
+        elif _is_number_like(other):
+            v = v + jnp.asarray(other, MAG_DTYPE) * (
+                1 << (self._bits * (self._length - self._ints))
+            )
+        else:
+            self.check_compatibility(other)
+            v = v + other._mag * other._sign
+        self._mag, self._sign = self._tidy_signed(v)
+        return self
+
+    # ---- multiplication ---------------------------------------------------
+    def __imul__(self, other):
+        if _is_number_like(other):
+            sign = _sign_of(other)
+            scale = jnp.asarray(other * sign, jnp.uint64)
+            mag = (self._mag.astype(jnp.uint64) * scale) & jnp.uint64(self._mask())
+            self._mag = mag.astype(MAG_DTYPE)
+            self._sign = self._sign * sign
+        elif isinstance(other, SignedBinary):
+            self._sign = self._sign * other.value
+        else:
+            # identical to from_mul at the same format (see core/qfloat.py
+            # _mul_window note; reference qfloat.py:852-910)
+            QFloatBase.MULTIPLICATION += 1
+            self.check_compatibility(other)
+            mag = _mul_window_packed(
+                self._mag,
+                self._ints,
+                self._length,
+                other._mag,
+                other.ints,
+                other._length,
+                self._length,
+                self._ints,
+                self._bits,
+            )
+            self._mag = mag
+            self._sign = self._sign * other._sign
+        return self
+
+    @classmethod
+    def from_mul(cls, a, b, newlength=None, newints=None):
+        """Windowed multiply; digit-exact with reference qfloat.py:955-1021."""
+        if newlength is None:
+            newlength = len(a)
+        if newints is None:
+            newints = a.ints
+        if isinstance(a, Zero) or isinstance(b, Zero):
+            return Zero()
+        if isinstance(a, SignedBinary) or isinstance(b, SignedBinary):
+            if isinstance(a, SignedBinary) and isinstance(b, SignedBinary):
+                return a * b
+            multiplication = a * b
+            multiplication.set_len_ints(newlength, newints)
+            return multiplication
+
+        QFloatBase.MULTIPLICATION += 1
+        if not a.base == b.base:
+            raise ValueError("bases are different")
+        mag = _mul_window_packed(
+            a._mag, a.ints, a._length, b._mag, b.ints, b._length,
+            newlength, newints, a._bits,
+        )
+        return cls(mag, newlength, newints, a.base, a.sign * b.sign)
+
+    @classmethod
+    def multi_from_mul(cls, list_a, list_b, newlength=None, newints=None):
+        """Grouping is a no-op here — every op is already a batched tensor op."""
+        a0 = next((a for a in list_a if isinstance(a, QFloatBase)), None)
+        b0 = next((b for b in list_b if isinstance(b, QFloatBase)), None)
+        if newlength is None:
+            newlength = len(a0) if a0 is not None else len(b0)
+        if newints is None:
+            newints = a0.ints if a0 is not None else b0.ints
+        assert len(list_a) == len(list_b)
+        return [cls.from_mul(a, b, newlength, newints) for a, b in zip(list_a, list_b)]
+
+    # ---- division ---------------------------------------------------------
+    def _long_division(self, dividend, n_digits):
+        """Restoring long division: q = dividend // divisor, digit-exact with
+        reference base_p_arrays.py:173-203 including zero-divisor saturation.
+
+        ``dividend``: int64 magnitudes; ``n_digits``: static digit count of
+        the dividend (also the quotient length).
+        """
+        p = self._base
+        k = self._bits
+        divisor = self._mag
+
+        def body(i, state):
+            r, q = state
+            digit = (dividend >> (k * (n_digits - 1 - i))) & (p - 1)
+            r = (r << k) | digit
+            qdigit = jnp.zeros_like(r)
+            for _ in range(p - 1):
+                ge = (r >= divisor).astype(MAG_DTYPE)
+                r = r - divisor * ge
+                qdigit = qdigit + ge
+            q = (q << k) | qdigit
+            return (r, q)
+
+        shape = jnp.broadcast_shapes(dividend.shape, divisor.shape)
+        r0 = jnp.zeros(shape, MAG_DTYPE)
+        q0 = jnp.zeros(shape, MAG_DTYPE)
+        _, q = lax.fori_loop(0, n_digits, body, (r0, q0))
+        return q
+
+    def __itruediv__(self, other):
+        if isinstance(other, Zero):
+            raise ValueError("division by Zero")
+        if isinstance(other, SignedBinary):
+            # unchanged or saturated (reference qfloat.py:1199-1210)
+            v = other.value
+            is_zero = (v == 0) * 1
+            self._mag = (1 - is_zero) * self._mag + is_zero * self._mask()
+            self._sign = (1 - is_zero) * v + is_zero * self._sign
+            return self
+
+        QFloatBase.DIVISION += 1
+        self.check_compatibility(other)
+        fp = self._length - self._ints
+        n_digits = self._length + fp
+        if self._bits * n_digits > 62:
+            raise ValueError("division dividend too wide for packed backend")
+        dividend = self._mag << (self._bits * fp)
+        q = other._long_division(dividend, n_digits)
+        self._mag = q & self._mask()  # keep the trailing `length` digits
+        self._sign = self.sign * other.sign
+        return self
+
+    def invert(self, sign=1, newlength=None, newints=None):
+        """Signed reciprocal (reference qfloat.py:1263-1309)."""
+        _check_invert_sign(sign)
+        QFloatBase.DIVISION += 1
+        if newlength is None:
+            newlength = self._length
+        if newints is None:
+            newints = self._ints
+        fp = newlength - newints
+        fpself = self._length - self._ints
+        n_digits = 1 + fpself + fp
+        if self._bits * n_digits > 62:
+            raise ValueError("invert dividend too wide for packed backend")
+        dividend = jnp.asarray(1 << (self._bits * (fpself + fp)), MAG_DTYPE)
+        q = self._long_division(dividend, n_digits)
+        diff = newlength - n_digits
+        if diff < 0:
+            q = q & ((1 << (self._bits * newlength)) - 1)
+        sb = sign.value if isinstance(sign, SignedBinary) else sign
+        return PackedQFloat(q, newlength, newints, self._base, sb * self.sign)
+
+    @classmethod
+    def multi_invert(cls, list_qfloats, sign=1, newlength=None, newints=None):
+        return [q.invert(sign, newlength, newints) for q in list_qfloats]
+
+    # ---- pivot support ----------------------------------------------------
+    def blend_from(self, other, cond):
+        """Magnitude-only branchless select (reference qfloat.py:323-326).
+
+        Deliberately bug-compatible: the sign is NOT blended, exactly like
+        ``qfloat_argmax`` in the reference.
+        """
+        c = jnp.asarray(cond, MAG_DTYPE)
+        self._mag = c * other._mag + (1 - c) * self._mag
+        return self
+
+
+import functools
+
+
+@functools.lru_cache(maxsize=None)
+def _mul_window_consts(a_ints, a_len, b_ints, b_len, newlength, newints, bits):
+    """Per-partial-product shift/mask constants for the scanned multiply."""
+    a_sh, b_sh, b_mask, o_sh = [], [], [], []
+    for i in range(a_len):
+        indb = newints - a_ints + i + 1 - b_ints
+        ind1 = 0 if indb >= 0 else -indb
+        ind2 = min(b_len, newlength - indb)
+        if ind2 <= ind1:
+            a_sh.append(0)
+            b_sh.append(0)
+            b_mask.append(0)  # zero mask -> zero contribution
+            o_sh.append(0)
+            continue
+        a_sh.append(bits * (a_len - 1 - i))
+        b_sh.append(bits * (b_len - ind2))
+        b_mask.append((1 << (bits * (ind2 - ind1))) - 1)
+        o_sh.append(bits * (newlength - indb - ind2))
+    u = lambda xs: np.asarray(xs, dtype=np.uint64)
+    return u(a_sh), u(b_sh), u(b_mask), u(o_sh)
+
+
+def _mul_window_packed(a_mag, a_ints, a_len, b_mag, b_ints, b_len,
+                       newlength, newints, bits):
+    """Packed form of the cropped partial-product sum (see module docstring).
+
+    Runs as one ``lax.scan`` over the ``a_len`` partial products with
+    precomputed shift/mask constants, so each multiply costs O(1) graph
+    nodes regardless of the digit count (keeps XLA compile time flat).
+    """
+    base_mask = jnp.uint64((1 << bits) - 1)
+    out_mask = jnp.uint64((1 << (bits * newlength)) - 1)
+    au = a_mag.astype(jnp.uint64)
+    bu = b_mag.astype(jnp.uint64)
+    shape = jnp.broadcast_shapes(a_mag.shape, b_mag.shape)
+    consts = _mul_window_consts(a_ints, a_len, b_ints, b_len, newlength, newints, bits)
+    consts = tuple(jnp.asarray(c) for c in consts)
+
+    def step(acc, c):
+        a_sh, b_sh, b_mask, o_sh = c
+        a_i = (au >> a_sh) & base_mask
+        window = (bu >> b_sh) & b_mask
+        return acc + ((a_i * window) << o_sh), None
+
+    acc, _ = lax.scan(step, jnp.zeros(shape, jnp.uint64), consts)
+    return (acc & out_mask).astype(MAG_DTYPE)

@@ -1,0 +1,224 @@
+"""User-facing API: compile/quantize/encrypt/evaluate/decrypt/dequantize/run.
+
+TPU re-design of the reference driver (reference matrix_inversion/main.py:
+17-116).  The mapping of the FHE lifecycle onto the XLA runtime:
+
+=================  =========================================================
+reference step      TPU-native equivalent
+=================  =========================================================
+compiler.compile    ``jax.jit(...).lower(shapes).compile()`` (AOT, cached)
+circuit.keygen      no-op (kept for API parity; XLA has no key material)
+circuit.encrypt     quantize + pack + ``jax.device_put`` (commit to device)
+circuit.run         run the compiled executable on device buffers
+circuit.decrypt     ``np.asarray`` (device -> host)
+circuit.simulate    eager (uncompiled) execution of the same function
+=================  =========================================================
+
+Unlike the reference, compilation needs example *shapes*, not an input set
+of 100 samples — the sampler argument is kept for interface parity and for
+shape/dtype validation.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import QFloatParams
+from ..models.inverse import qfloat_matrix_inverse
+from ..models.marshal import (
+    float_matrix_to_qfloat_arrays,
+    qfloat_and_signs_arrays_to_float_matrix,
+)
+
+
+class EncryptedMatrixInversion:
+    """Single-matrix inversion API, mirroring reference main.py:17-116."""
+
+    def __init__(
+        self,
+        n,
+        sampler: Optional[Callable] = None,
+        qfloat_base=2,
+        qfloat_len=32,
+        qfloat_ints=16,
+        true_division=False,
+        tensorize=False,
+        backend="auto",
+    ):
+        self.shape = (n, n)
+        self.params = QFloatParams(
+            n=n,
+            qfloat_len=qfloat_len,
+            qfloat_ints=qfloat_ints,
+            qfloat_base=qfloat_base,
+            true_division=true_division,
+            tensorize=tensorize,
+            backend=backend,
+        )
+        self.backend = self.params.resolve_backend()
+
+        if sampler is not None:
+            # interface parity with the reference input set validation
+            # (reference main.py:41-46); 3 samples are plenty to check shape
+            for _ in range(3):
+                sample = sampler()
+                assert isinstance(sample, np.ndarray)
+                assert np.issubdtype(sample.dtype, np.floating)
+                assert sample.shape == self.shape
+
+        p = self.params
+        fn = functools.partial(
+            qfloat_matrix_inverse,
+            n=p.n,
+            qfloat_len=p.qfloat_len,
+            qfloat_ints=p.qfloat_ints,
+            qfloat_base=p.qfloat_base,
+            true_division=p.true_division,
+            tensorize=p.tensorize,
+            backend=self.backend,
+        )
+        self._fn = fn
+        self._jitted = jax.jit(fn)
+        digits = jax.ShapeDtypeStruct((n * n, p.qfloat_len), jnp.int64)
+        signs = jax.ShapeDtypeStruct((n * n,), jnp.int64)
+        # "compile" — the reference's minutes-long concrete step is an XLA
+        # AOT compile here (reference main.py:66)
+        self.circuit = self._jitted.lower(digits, signs).compile()
+
+    # ---- lifecycle steps (reference main.py:68-91) ------------------------
+    def keygen(self):
+        """FHE key generation has no XLA analog; kept for API parity."""
+        return None
+
+    def quantize(self, matrix: np.ndarray):
+        return float_matrix_to_qfloat_arrays(
+            matrix,
+            self.params.qfloat_len,
+            self.params.qfloat_ints,
+            self.params.qfloat_base,
+        )
+
+    def encrypt(self, quantized_matrix, qfloat_signs):
+        """Commit plaintext digits to the device ("ciphertext" buffers)."""
+        return (
+            jax.device_put(jnp.asarray(quantized_matrix, jnp.int64)),
+            jax.device_put(jnp.asarray(qfloat_signs, jnp.int64)),
+        )
+
+    def evaluate(self, encrypted):
+        digits, signs = encrypted
+        return self.circuit(digits, signs)
+
+    def decrypt(self, encrypted_result):
+        return np.asarray(jax.block_until_ready(encrypted_result))
+
+    def dequantize(self, quantized_inverted_matrix) -> np.ndarray:
+        return qfloat_and_signs_arrays_to_float_matrix(
+            quantized_inverted_matrix,
+            self.params.qfloat_ints,
+            self.params.qfloat_base,
+        )
+
+    def run(self, matrix: np.ndarray, simulate=False) -> np.ndarray:
+        assert np.issubdtype(matrix.dtype, np.floating)
+        assert matrix.shape == self.shape
+
+        quantized_matrix, qfloat_signs = self.quantize(matrix)
+        if not simulate:
+            encrypted = self.encrypt(quantized_matrix, qfloat_signs)
+            encrypted_result = self.evaluate(encrypted)
+            quantized_inverted = self.decrypt(encrypted_result)
+        else:
+            # eager execution of the same traced body (reference main.py:107)
+            quantized_inverted = np.asarray(
+                self._fn(
+                    jnp.asarray(quantized_matrix, jnp.int64),
+                    jnp.asarray(qfloat_signs, jnp.int64),
+                )
+            )
+        inverted = self.dequantize(quantized_inverted)
+        assert np.issubdtype(inverted.dtype, np.floating)
+        assert inverted.shape == self.shape
+        return inverted
+
+
+class BatchedMatrixInversion:
+    """Flagship batched API: invert (B, n, n) matrices in one device program.
+
+    This is the TPU-native execution model the reference lacks: the entire
+    10^4-inversion precision benchmark (reference
+    qfloat_matrix_inversion.py:883-970) becomes ONE compiled program over a
+    batch axis, optionally sharded over a device mesh (see
+    ``parallel.mesh``).
+    """
+
+    def __init__(
+        self,
+        params: QFloatParams,
+        batch_size: int,
+        backend: str = "auto",
+        in_shardings=None,
+        out_shardings=None,
+        donate: bool = False,
+    ):
+        if backend != "auto":
+            params = params.replace(backend=backend)
+        self.params = params
+        self.backend = params.resolve_backend()
+        self.batch_size = batch_size
+        p = params
+
+        fn = functools.partial(
+            qfloat_matrix_inverse,
+            n=p.n,
+            qfloat_len=p.qfloat_len,
+            qfloat_ints=p.qfloat_ints,
+            qfloat_base=p.qfloat_base,
+            true_division=p.true_division,
+            tensorize=p.tensorize,
+            backend=self.backend,
+        )
+        self._fn = fn
+        kw = {}
+        if in_shardings is not None:
+            kw["in_shardings"] = in_shardings
+        if out_shardings is not None:
+            kw["out_shardings"] = out_shardings
+        if donate:
+            kw["donate_argnums"] = (0, 1)
+        self._jitted = jax.jit(fn, **kw)
+        digits = jax.ShapeDtypeStruct(
+            (batch_size, p.n * p.n, p.qfloat_len), jnp.int64
+        )
+        signs = jax.ShapeDtypeStruct((batch_size, p.n * p.n), jnp.int64)
+        self.circuit = self._jitted.lower(digits, signs).compile()
+
+    def quantize(self, matrices: np.ndarray):
+        p = self.params
+        return float_matrix_to_qfloat_arrays(
+            matrices, p.qfloat_len, p.qfloat_ints, p.qfloat_base
+        )
+
+    def dequantize(self, out_arrays) -> np.ndarray:
+        p = self.params
+        return qfloat_and_signs_arrays_to_float_matrix(
+            out_arrays, p.qfloat_ints, p.qfloat_base
+        )
+
+    def run_raw(self, digits, signs):
+        """Device digits/signs -> device output arrays (async)."""
+        return self.circuit(digits, signs)
+
+    def run(self, matrices: np.ndarray) -> np.ndarray:
+        p = self.params
+        assert matrices.shape == (self.batch_size, p.n, p.n)
+        digits, signs = self.quantize(matrices)
+        out = self.circuit(
+            jnp.asarray(digits, jnp.int64), jnp.asarray(signs, jnp.int64)
+        )
+        return self.dequantize(np.asarray(jax.block_until_ready(out)))

@@ -1,0 +1,156 @@
+"""End-to-end inversion tests (tier 3 of the reference test strategy).
+
+Batched circuits compiled with jit, checked against scipy/numpy inverses
+(reference qfloat_matrix_inversion.py:848-970) and cross-backend
+bit-exactness of the full circuit output.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from matrix_inversion_tpu.config import LOW, MEDIUM_PLUS, HIGH
+from matrix_inversion_tpu.models import lu_float
+from matrix_inversion_tpu.models.inverse import qfloat_matrix_inverse
+from matrix_inversion_tpu.models.marshal import (
+    float_matrix_to_qfloat_arrays,
+    qfloat_and_signs_arrays_to_float_matrix,
+)
+
+
+def run_inverse(M, params, backend):
+    p = params
+    digits, signs = float_matrix_to_qfloat_arrays(
+        M, p.qfloat_len, p.qfloat_ints, p.qfloat_base
+    )
+    fn = jax.jit(
+        functools.partial(
+            qfloat_matrix_inverse,
+            n=p.n,
+            qfloat_len=p.qfloat_len,
+            qfloat_ints=p.qfloat_ints,
+            qfloat_base=p.qfloat_base,
+            true_division=p.true_division,
+            tensorize=p.tensorize,
+            backend=backend,
+        )
+    )
+    out = fn(jnp.asarray(digits), jnp.asarray(signs))
+    return np.asarray(out), qfloat_and_signs_arrays_to_float_matrix(
+        np.asarray(out), p.qfloat_ints, p.qfloat_base
+    )
+
+
+def test_float_oracle(rng):
+    for _ in range(20):
+        M = rng.uniform(0, 100, (4, 4))
+        err = np.mean(np.abs(lu_float.matrix_inverse(M) - np.linalg.inv(M)))
+        assert err < 1e-5
+
+
+@pytest.mark.parametrize("backend", ["limb", "packed"])
+@pytest.mark.parametrize("tensorize", [False, True])
+def test_inverse_2x2(rng, backend, tensorize):
+    B = 16
+    M = rng.randn(B, 2, 2) * 100
+    params = LOW.replace(n=2, tensorize=tensorize)
+    _, inv = run_inverse(M, params, backend)
+    expected = np.linalg.inv(M)
+    err = np.mean(np.abs(inv - expected), axis=(1, 2))
+    # Low precision: mean err 8.19e-2, big-error rate 0.04% (BASELINE.md)
+    assert np.median(err) < 0.5
+    assert np.mean(err < 1.0) > 0.8
+
+
+@pytest.mark.parametrize("backend", ["packed"])
+def test_inverse_3x3_medium_plus(rng, backend):
+    B = 8
+    M = rng.randn(B, 3, 3) * 100
+    params = MEDIUM_PLUS.replace(n=3)
+    _, inv = run_inverse(M, params, backend)
+    expected = np.linalg.inv(M)
+    err = np.mean(np.abs(inv - expected), axis=(1, 2))
+    # Medium+ n=3: mean err 2.6e-3, big-error rate 0.03%
+    assert np.median(err) < 0.1
+
+
+def test_inverse_4x4_high_packed(rng):
+    B = 8
+    M = rng.randn(B, 4, 4) * 100
+    params = HIGH.replace(n=4)
+    _, inv = run_inverse(M, params, "packed")
+    expected = np.linalg.inv(M)
+    err = np.mean(np.abs(inv - expected), axis=(1, 2))
+    # High n=4: mean err 8.6e-6, big-error rate 0.0%
+    assert np.max(err) < 1e-3
+
+
+@pytest.mark.parametrize("n", [2, 3])
+def test_backend_parity_full_circuit(rng, n):
+    """The packed and limb backends produce bit-identical circuit outputs."""
+    B = 4
+    M = rng.randn(B, n, n) * 100
+    params = LOW.replace(n=n)
+    out_limb, _ = run_inverse(M, params, "limb")
+    out_packed, _ = run_inverse(M, params, "packed")
+    np.testing.assert_array_equal(out_limb, out_packed)
+
+
+def test_backend_parity_true_division(rng):
+    B = 2
+    M = rng.randn(B, 3, 3) * 100
+    params = LOW.replace(n=3, true_division=True)
+    out_limb, _ = run_inverse(M, params, "limb")
+    out_packed, _ = run_inverse(M, params, "packed")
+    np.testing.assert_array_equal(out_limb, out_packed)
+
+
+def test_tensorize_matches_plain(rng):
+    B = 2
+    M = rng.randn(B, 3, 3) * 100
+    params = LOW.replace(n=3)
+    out_a, _ = run_inverse(M, params, "packed")
+    out_b, _ = run_inverse(M, params.replace(tensorize=True), "packed")
+    np.testing.assert_array_equal(out_a, out_b)
+
+
+def test_pivot_circuit(rng):
+    from matrix_inversion_tpu.models.inverse import qfloat_pivot
+
+    p = LOW.replace(n=3)
+    for _ in range(5):
+        M = rng.randn(3, 3) * 100
+        digits, signs = float_matrix_to_qfloat_arrays(
+            M, p.qfloat_len, p.qfloat_ints, p.qfloat_base
+        )
+        piv = np.asarray(
+            qfloat_pivot(jnp.asarray(digits), jnp.asarray(signs), p.as_list(), "packed")
+        )
+        expected = lu_float.pivot_matrix(M)
+        np.testing.assert_array_equal(piv, expected.astype(int))
+
+
+def test_lu_circuits(rng):
+    from matrix_inversion_tpu.models.inverse import qfloat_lu_L, qfloat_lu_U
+
+    p = MEDIUM_PLUS.replace(n=3)
+    M = rng.randn(3, 3) * 100
+    digits, signs = float_matrix_to_qfloat_arrays(
+        M, p.qfloat_len, p.qfloat_ints, p.qfloat_base
+    )
+    P_, L_, U_ = lu_float.lu_decomposition(M)
+    L = qfloat_and_signs_arrays_to_float_matrix(
+        np.asarray(qfloat_lu_L(jnp.asarray(digits), jnp.asarray(signs), p.as_list(), "packed")),
+        p.qfloat_ints,
+        p.qfloat_base,
+    )
+    U = qfloat_and_signs_arrays_to_float_matrix(
+        np.asarray(qfloat_lu_U(jnp.asarray(digits), jnp.asarray(signs), p.as_list(), "packed")),
+        p.qfloat_ints,
+        p.qfloat_base,
+    )
+    np.testing.assert_allclose(L, L_, atol=1e-2)
+    np.testing.assert_allclose(U, U_, atol=1e-2)
