@@ -348,10 +348,10 @@ class PackedQFloat(QFloatBase):
             q = (q << k) | qdigit
             return (r, q)
 
-        shape = jnp.broadcast_shapes(dividend.shape, divisor.shape)
-        r0 = jnp.zeros(shape, MAG_DTYPE)
-        q0 = jnp.zeros(shape, MAG_DTYPE)
-        _, q = lax.fori_loop(0, n_digits, body, (r0, q0))
+        # derive the zero carries from the operands so their sharding/varying
+        # axes match the loop outputs under shard_map
+        zero = dividend * 0 + divisor * 0
+        _, q = lax.fori_loop(0, n_digits, body, (zero, zero))
         return q
 
     def __itruediv__(self, other):
@@ -451,7 +451,6 @@ def _mul_window_packed(a_mag, a_ints, a_len, b_mag, b_ints, b_len,
     out_mask = jnp.uint64((1 << (bits * newlength)) - 1)
     au = a_mag.astype(jnp.uint64)
     bu = b_mag.astype(jnp.uint64)
-    shape = jnp.broadcast_shapes(a_mag.shape, b_mag.shape)
     consts = _mul_window_consts(a_ints, a_len, b_ints, b_len, newlength, newints, bits)
     consts = tuple(jnp.asarray(c) for c in consts)
 
@@ -461,5 +460,6 @@ def _mul_window_packed(a_mag, a_ints, a_len, b_mag, b_ints, b_len,
         window = (bu >> b_sh) & b_mask
         return acc + ((a_i * window) << o_sh), None
 
-    acc, _ = lax.scan(step, jnp.zeros(shape, jnp.uint64), consts)
+    # zero carry derived from the operands (keeps shard_map varying axes)
+    acc, _ = lax.scan(step, au * jnp.uint64(0) + bu * jnp.uint64(0), consts)
     return (acc & out_mask).astype(MAG_DTYPE)

@@ -1,0 +1,93 @@
+"""Runtime API tests: the quantize/encrypt/evaluate/decrypt/dequantize
+lifecycle and the batched API (reference main.py semantics)."""
+
+import numpy as np
+import pytest
+
+from matrix_inversion_tpu import (
+    LOW,
+    MEDIUM,
+    BatchedMatrixInversion,
+    EncryptedMatrixInversion,
+    PRESETS,
+    QFloatParams,
+)
+
+
+def test_lifecycle_n2(rng):
+    sampler = lambda: rng.randn(2, 2) * 100
+    inv = EncryptedMatrixInversion(
+        2, sampler, qfloat_len=23, qfloat_ints=9, true_division=False
+    )
+    M = sampler()
+    expected = np.linalg.inv(M)
+
+    # step-by-step lifecycle
+    q, s = inv.quantize(M)
+    assert q.shape == (4, 23) and s.shape == (4,)
+    enc = inv.encrypt(q, s)
+    res = inv.evaluate(enc)
+    dec = inv.decrypt(res)
+    assert dec.shape == (4, 24)
+    out = inv.dequantize(dec)
+    assert np.mean(np.abs(out - expected)) < 1.0
+
+    # one-shot run, and simulate (eager) parity with the compiled circuit
+    out_run = inv.run(M)
+    out_sim = inv.run(M, simulate=True)
+    np.testing.assert_array_equal(out_run, out_sim)
+    assert inv.keygen() is None  # parity no-op
+
+
+def test_run_validates_input(rng):
+    inv = EncryptedMatrixInversion(2, qfloat_len=23, qfloat_ints=9)
+    with pytest.raises(AssertionError):
+        inv.run(np.zeros((3, 3)))
+    with pytest.raises(AssertionError):
+        inv.run(np.zeros((2, 2), dtype=int))
+
+
+def test_batched_api(rng):
+    params = LOW.replace(n=3)
+    B = 8
+    binv = BatchedMatrixInversion(params, B, backend="packed")
+    M = rng.randn(B, 3, 3) * 100
+    out = binv.run(M)
+    err = np.mean(np.abs(out - np.linalg.inv(M)), axis=(1, 2))
+    assert np.median(err) < 1.0
+
+
+def test_presets():
+    assert set(PRESETS) == {"low", "medium", "medium+", "high"}
+    assert PRESETS["high"].qfloat_len == 40
+    assert PRESETS["high"].true_division
+    assert PRESETS["low"].as_list() == [2, 23, 9, 2, False, False]
+
+
+def test_params_validation():
+    with pytest.raises(ValueError):
+        QFloatParams(qfloat_len=10, qfloat_ints=11)
+    with pytest.raises(ValueError):
+        QFloatParams(qfloat_base=1)
+    with pytest.raises(ValueError):
+        QFloatParams(backend="gpu")
+    # packed impossible for non-power-of-two base
+    p = QFloatParams(qfloat_base=3, backend="packed")
+    with pytest.raises(ValueError):
+        p.resolve_backend()
+    assert QFloatParams(qfloat_base=3).resolve_backend() == "limb"
+    # too wide for int64 -> auto falls back to limb
+    assert QFloatParams(qfloat_len=64, qfloat_ints=32).resolve_backend() == "limb"
+
+
+def test_op_stats(rng):
+    from matrix_inversion_tpu.core.qfloat import QFloatBase
+
+    params = LOW.replace(n=3)
+    QFloatBase.reset_stats()
+    B = 2
+    binv = BatchedMatrixInversion(params, B, backend="packed")
+    # tracing the circuit counts ops exactly once per traced op
+    assert QFloatBase.MULTIPLICATION > 0
+    assert QFloatBase.ADDITIONS > 0
+    assert QFloatBase.DIVISION > 0

@@ -1,0 +1,71 @@
+"""Mesh sharding tests on the virtual 8-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from matrix_inversion_tpu import LOW
+from matrix_inversion_tpu.models.marshal import float_matrix_to_qfloat_arrays
+from matrix_inversion_tpu.parallel.mesh import (
+    cell_sharded_pipeline,
+    data_parallel_inverse,
+    make_mesh,
+    sharded_inverse_with_stats,
+)
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs the 8-device CPU mesh"
+)
+
+
+def _inputs(rng, params, B):
+    M = rng.randn(B, params.n, params.n) * 100
+    d, s = float_matrix_to_qfloat_arrays(
+        M, params.qfloat_len, params.qfloat_ints, params.qfloat_base
+    )
+    return M, jnp.asarray(d), jnp.asarray(s)
+
+
+def test_data_parallel_matches_single_device(rng):
+    p = LOW.replace(n=3)
+    M, d, s = _inputs(rng, p, 16)
+    mesh = make_mesh(8, axis_names=("data",))
+    out_sharded = np.asarray(data_parallel_inverse(p, mesh, "packed")(d, s))
+
+    import functools
+    from matrix_inversion_tpu.models.inverse import qfloat_matrix_inverse
+
+    fn = jax.jit(
+        functools.partial(
+            qfloat_matrix_inverse,
+            n=p.n,
+            qfloat_len=p.qfloat_len,
+            qfloat_ints=p.qfloat_ints,
+            qfloat_base=p.qfloat_base,
+            true_division=p.true_division,
+            backend="packed",
+        )
+    )
+    out_single = np.asarray(fn(d, s))
+    np.testing.assert_array_equal(out_sharded, out_single)
+
+
+def test_shard_map_stats(rng):
+    p = LOW.replace(n=3)
+    M, d, s = _inputs(rng, p, 16)
+    out, stat = sharded_inverse_with_stats(p, make_mesh(8, ("data",)), "packed")(d, s)
+    assert np.asarray(stat).shape == ()
+    assert float(stat) > 0
+    assert np.asarray(out).shape == (16, 9, p.qfloat_len + 1)
+
+
+def test_cell_sharded_pipeline(rng):
+    p = LOW.replace(n=4)  # 16 cells, divisible by the cell axis
+    M, d, s = _inputs(rng, p, 8)
+    mesh = make_mesh(8, axis_names=("data", "cell"), shape=(4, 2))
+    out = np.asarray(cell_sharded_pipeline(p, mesh, "packed")(d, s))
+
+    mesh1 = make_mesh(8, axis_names=("data",))
+    out_dp = np.asarray(data_parallel_inverse(p, mesh1, "packed")(d, s))
+    np.testing.assert_array_equal(out, out_dp)
