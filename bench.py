@@ -33,35 +33,33 @@ def main():
 
     params = HIGH.replace(n=4)
     t0 = time.time()
-    inv = BatchedMatrixInversion(params, batch, backend="packed")
+    inv = BatchedMatrixInversion(params, batch, backend="packed", io="packed")
     compile_s = time.time() - t0
 
     rng = np.random.RandomState(0)
     M = rng.randn(batch, 4, 4) * 100
-    digits, signs = float_matrix_to_qfloat_arrays(
-        M, params.qfloat_len, params.qfloat_ints, params.qfloat_base
-    )
-    digits = jax.device_put(jnp.asarray(digits))
+    mags, signs = inv.quantize(M)
+    mags = jax.device_put(jnp.asarray(mags))
     signs = jax.device_put(jnp.asarray(signs))
 
     def sync(x):
         # force completion: block AND fetch one element to host (the axon
         # tunnel's block_until_ready alone is not a reliable fence)
         jax.block_until_ready(x)
-        return np.asarray(x[0, 0, 0])
+        return np.asarray(x[0][0, 0])
 
     # warmup
-    sync(inv.run_raw(digits, signs))
+    sync(inv.run_raw(mags, signs))
 
     t0 = time.time()
     for _ in range(reps):
-        out = inv.run_raw(digits, signs)
+        out = inv.run_raw(mags, signs)
         sync(out)
     elapsed = time.time() - t0
     throughput = batch * reps / elapsed
 
     # correctness spot check on a slice
-    res = inv.dequantize(np.asarray(out)[:64])
+    res = inv.dequantize((np.asarray(out[0])[:64], np.asarray(out[1])[:64]))
     err = float(np.mean(np.abs(res - np.linalg.inv(M[:64]))))
 
     result = {

@@ -10,8 +10,10 @@ from __future__ import annotations
 import numpy as np
 
 from .marshal import (
+    mags_and_signs_to_qfloat_matrix,
     qfloat_arrays_to_qfloat_matrix,
     qfloat_matrix_to_arrays_and_signs,
+    qfloat_matrix_to_mags_and_signs,
 )
 from .qfloat_lu import (
     qfloat_inverse_2x2,
@@ -62,6 +64,45 @@ def qfloat_matrix_inverse(
         )
 
     return qfloat_matrix_to_arrays_and_signs(
+        qfloat_Minv, qfloat_len, qfloat_ints, qfloat_base
+    )
+
+
+def qfloat_matrix_inverse_packed_io(
+    mags,
+    signs,
+    n,
+    qfloat_len,
+    qfloat_ints,
+    qfloat_base,
+    true_division,
+    tensorize=False,
+):
+    """Full inverse with packed I/O: (..., n*n) int64 magnitudes + signs in,
+    the same out.
+
+    Production fast path: one magnitude word per cell instead of
+    ``qfloat_len`` digit words on both sides of the circuit (40x less I/O
+    and no per-cell pack/unpack stage at High precision).  Numerically
+    identical to :func:`qfloat_matrix_inverse` on the packed backend.
+    """
+    assert n * n == mags.shape[-1]
+    qfloat_M = mags_and_signs_to_qfloat_matrix(
+        mags, signs, qfloat_len, qfloat_ints, qfloat_base
+    )
+    if n == 2:
+        if tensorize:
+            qfloat_Minv = qfloat_inverse_2x2_multi(qfloat_M, qfloat_len, qfloat_ints)
+        else:
+            qfloat_Minv = qfloat_inverse_2x2(qfloat_M, qfloat_len, qfloat_ints)
+    else:
+        bin_P, qfloat_L, qfloat_U = qfloat_lu_decomposition(
+            qfloat_M, qfloat_len, qfloat_ints, true_division, tensorize
+        )
+        qfloat_Minv = qfloat_lu_inverse(
+            bin_P, qfloat_L, qfloat_U, qfloat_len, qfloat_ints, true_division, tensorize
+        )
+    return qfloat_matrix_to_mags_and_signs(
         qfloat_Minv, qfloat_len, qfloat_ints, qfloat_base
     )
 

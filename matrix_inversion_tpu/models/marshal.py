@@ -108,6 +108,109 @@ def qfloat_matrix_to_arrays_and_signs(M, qfloat_len, qfloat_ints, qfloat_base):
     return jnp.stack(rows, axis=-2)
 
 
+def float_matrix_to_mags_and_signs(M, qfloat_len, qfloat_ints, qfloat_base):
+    """Float matrix (..., n, n) -> ((..., n*n) int64 magnitudes, signs).
+
+    The packed-I/O production path: 1 magnitude word per cell instead of
+    ``qfloat_len`` digit words — 40x less host->device traffic at High
+    precision.  Uses the native quantizer when built.
+    """
+    M = np.asarray(M, dtype=np.float64)
+    flat = M.reshape(M.shape[:-2] + (-1,))
+    from ..runtime import native
+
+    if native.available() and flat.size >= 4096:
+        return native.quantize_packed(flat, qfloat_len, qfloat_ints, qfloat_base)
+    digits, signs = radix.float_to_digits_and_sign(
+        flat, qfloat_len, qfloat_ints, qfloat_base
+    )
+    return radix.pack_digits(digits, qfloat_base), signs
+
+
+def mags_and_signs_to_qfloat_matrix(mags, signs, qfloat_len, qfloat_ints, qfloat_base):
+    """Packed magnitudes/signs -> n x n 2D list of PackedQFloats (device)."""
+    mags = jnp.asarray(mags)
+    n = int(np.sqrt(mags.shape[-1]))
+    M = []
+    index = 0
+    for _ in range(n):
+        row = []
+        for _ in range(n):
+            row.append(
+                PackedQFloat(
+                    mags[..., index], qfloat_len, qfloat_ints, qfloat_base,
+                    signs[..., index],
+                )
+            )
+            index += 1
+        M.append(row)
+    return M
+
+
+def qfloat_matrix_to_mags_and_signs(M, qfloat_len, qfloat_ints, qfloat_base):
+    """QFloat 2D-list matrix -> ((..., n*n) magnitudes, (..., n*n) signs).
+
+    Packed-I/O analog of :func:`qfloat_matrix_to_arrays_and_signs`; cells
+    follow the same encoding scheme (SignedBinary/plain cells land at digit
+    ``ints-1``; such cells are only ever 0/+1 on real output paths).
+    """
+    import jax.numpy as jnp
+
+    n = len(M)
+    bshape = ()
+    for row in M:
+        for cell in row:
+            if isinstance(cell, QFloatBase):
+                bshape = cell.bshape
+                break
+
+    bits = (qfloat_base).bit_length() - 1
+    unit = 1 << (bits * (qfloat_len - qfloat_ints))
+    mags, signs = [], []
+    for i in range(n):
+        for j in range(n):
+            cell = M[i][j]
+            if isinstance(cell, PackedQFloat):
+                mag, sign = cell.mag, cell.sign
+            elif isinstance(cell, QFloatBase):
+                mag = PackedQFloat.from_digits(
+                    cell.to_digits(), cell.ints, cell.base, cell.sign
+                ).mag
+                sign = cell.sign
+            elif isinstance(cell, SignedBinary):
+                v = cell.value
+                mag, sign = jnp.abs(jnp.asarray(v)) * unit, v
+            elif isinstance(cell, Zero):
+                mag, sign = 0, 0
+            else:
+                mag = jnp.abs(jnp.asarray(cell)) * unit
+                sign = jnp.sign(jnp.asarray(cell))
+            mags.append(jnp.broadcast_to(jnp.asarray(mag, jnp.int64), bshape))
+            signs.append(jnp.broadcast_to(jnp.asarray(sign, jnp.int64), bshape))
+    return jnp.stack(mags, axis=-1), jnp.stack(signs, axis=-1)
+
+
+def mags_and_signs_to_float_matrix(mags, signs, qfloat_len, qfloat_ints, qfloat_base):
+    """Packed output -> float matrix (..., n, n) (host side)."""
+    mags = np.asarray(mags)
+    signs = np.asarray(signs)
+    n = int(np.sqrt(mags.shape[-1]))
+    from ..runtime import native
+
+    if native.available() and mags.size >= 4096:
+        values = native.dequantize_packed(
+            mags, signs, qfloat_len, qfloat_ints, qfloat_base
+        )
+    else:
+        frac = qfloat_len - qfloat_ints
+        values = (
+            mags.astype(np.float64)
+            * float(qfloat_base) ** (-frac)
+            * signs.astype(np.float64)
+        )
+    return values.reshape(values.shape[:-1] + (n, n))
+
+
 def qfloat_and_signs_arrays_to_float_matrix(qfloat_arrays, qfloat_ints, qfloat_base):
     """(..., n*n, len+1) output arrays -> float matrix (..., n, n).
 

@@ -53,6 +53,25 @@ from . import radix
 
 MAG_DTYPE = jnp.int64
 
+# Pallas division routing: None = auto (TPU only), True/False = forced.
+_PALLAS_DIVISION = None
+_PALLAS_MIN_BATCH = 4096
+
+
+def set_pallas_division(enabled):
+    """Force the Pallas division kernel on/off (None = auto: TPU only)."""
+    global _PALLAS_DIVISION
+    _PALLAS_DIVISION = enabled
+
+
+def _pallas_division_enabled() -> bool:
+    if _PALLAS_DIVISION is not None:
+        return bool(_PALLAS_DIVISION)
+    try:
+        return jax.default_backend() not in ("cpu",)
+    except Exception:
+        return False
+
 
 def _digit_bits(base: int) -> int:
     if base < 2 or base & (base - 1):
@@ -330,11 +349,26 @@ class PackedQFloat(QFloatBase):
         reference base_p_arrays.py:173-203 including zero-divisor saturation.
 
         ``dividend``: int64 magnitudes; ``n_digits``: static digit count of
-        the dividend (also the quotient length).
+        the dividend (also the quotient length).  Large batches on TPU run
+        the fused Pallas kernel (ops/pallas_kernels.py) which keeps the
+        remainder/quotient in VMEM for the whole digit loop; results are
+        bit-identical to the XLA ``fori_loop`` path below.
         """
         p = self._base
         k = self._bits
         divisor = self._mag
+
+        if _pallas_division_enabled():
+            shape = jnp.broadcast_shapes(jnp.shape(dividend), jnp.shape(divisor))
+            size = 1
+            for s in shape:
+                size *= s
+            if size >= _PALLAS_MIN_BATCH:
+                from . import pallas_kernels
+
+                return pallas_kernels.batched_long_division(
+                    dividend, divisor, n_digits, k
+                )
 
         def body(i, state):
             r, q = state

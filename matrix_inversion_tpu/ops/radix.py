@@ -89,8 +89,17 @@ def float_to_digits_and_sign(f, length: int, ints: int, p: int):
     The QFloat layout is ``ints`` integer digits followed by
     ``length - ints`` fraction digits; sign of 0.0 is +1
     (reference qfloat.py:375-397).
+
+    Large batches dispatch to the native multithreaded kernel
+    (native/qmarshal.cc) when built; semantics are identical.
     """
     f = np.asarray(f, dtype=np.float64)
+    if f.size >= 4096:
+        from ..runtime import native
+
+        if native.available():
+            digits, signs = native.quantize_digits(f, length, ints, p)
+            return digits.astype(np.int64), signs.astype(np.int64)
     integer_part = f.astype(np.int64)  # trunc toward zero, like int(f)
     float_part = f - integer_part
     int_digits = int_to_base_p(integer_part, ints, p)
@@ -104,6 +113,18 @@ def float_to_digits_and_sign(f, length: int, ints: int, p: int):
 def digits_and_sign_to_float(digits, sign, ints: int, p: int):
     """Inverse of :func:`float_to_digits_and_sign` (reference qfloat.py:399-410)."""
     digits = np.asarray(digits)
+    if digits.size >= 4096 * max(1, digits.shape[-1]):
+        from ..runtime import native
+
+        if native.available():
+            arr = np.concatenate(
+                [
+                    np.asarray(digits, np.int32),
+                    np.asarray(sign, np.int32)[..., None],
+                ],
+                axis=-1,
+            )
+            return native.dequantize_digits(arr, digits.shape[-1], ints, p)
     integer_part = base_p_to_int(digits[..., :ints], p).astype(np.float64)
     float_part = base_p_to_float(digits[..., ints:], p)
     return (integer_part + float_part) * np.asarray(sign, dtype=np.float64)

@@ -162,6 +162,7 @@ class BatchedMatrixInversion:
         params: QFloatParams,
         batch_size: int,
         backend: str = "auto",
+        io: str = "digits",
         in_shardings=None,
         out_shardings=None,
         donate: bool = False,
@@ -170,19 +171,43 @@ class BatchedMatrixInversion:
             params = params.replace(backend=backend)
         self.params = params
         self.backend = params.resolve_backend()
+        if io not in ("digits", "packed"):
+            raise ValueError("io must be digits|packed")
+        if io == "packed" and self.backend != "packed":
+            raise ValueError("packed io requires the packed backend")
+        self.io = io
         self.batch_size = batch_size
         p = params
 
-        fn = functools.partial(
-            qfloat_matrix_inverse,
-            n=p.n,
-            qfloat_len=p.qfloat_len,
-            qfloat_ints=p.qfloat_ints,
-            qfloat_base=p.qfloat_base,
-            true_division=p.true_division,
-            tensorize=p.tensorize,
-            backend=self.backend,
-        )
+        if io == "packed":
+            from ..models.inverse import qfloat_matrix_inverse_packed_io
+
+            fn = functools.partial(
+                qfloat_matrix_inverse_packed_io,
+                n=p.n,
+                qfloat_len=p.qfloat_len,
+                qfloat_ints=p.qfloat_ints,
+                qfloat_base=p.qfloat_base,
+                true_division=p.true_division,
+                tensorize=p.tensorize,
+            )
+            arg0 = jax.ShapeDtypeStruct((batch_size, p.n * p.n), jnp.int64)
+            arg1 = arg0
+        else:
+            fn = functools.partial(
+                qfloat_matrix_inverse,
+                n=p.n,
+                qfloat_len=p.qfloat_len,
+                qfloat_ints=p.qfloat_ints,
+                qfloat_base=p.qfloat_base,
+                true_division=p.true_division,
+                tensorize=p.tensorize,
+                backend=self.backend,
+            )
+            arg0 = jax.ShapeDtypeStruct(
+                (batch_size, p.n * p.n, p.qfloat_len), jnp.int64
+            )
+            arg1 = jax.ShapeDtypeStruct((batch_size, p.n * p.n), jnp.int64)
         self._fn = fn
         kw = {}
         if in_shardings is not None:
@@ -192,33 +217,41 @@ class BatchedMatrixInversion:
         if donate:
             kw["donate_argnums"] = (0, 1)
         self._jitted = jax.jit(fn, **kw)
-        digits = jax.ShapeDtypeStruct(
-            (batch_size, p.n * p.n, p.qfloat_len), jnp.int64
-        )
-        signs = jax.ShapeDtypeStruct((batch_size, p.n * p.n), jnp.int64)
-        self.circuit = self._jitted.lower(digits, signs).compile()
+        self.circuit = self._jitted.lower(arg0, arg1).compile()
 
     def quantize(self, matrices: np.ndarray):
         p = self.params
+        if self.io == "packed":
+            from ..models.marshal import float_matrix_to_mags_and_signs
+
+            return float_matrix_to_mags_and_signs(
+                matrices, p.qfloat_len, p.qfloat_ints, p.qfloat_base
+            )
         return float_matrix_to_qfloat_arrays(
             matrices, p.qfloat_len, p.qfloat_ints, p.qfloat_base
         )
 
-    def dequantize(self, out_arrays) -> np.ndarray:
+    def dequantize(self, out) -> np.ndarray:
         p = self.params
+        if self.io == "packed":
+            from ..models.marshal import mags_and_signs_to_float_matrix
+
+            mags, signs = out
+            return mags_and_signs_to_float_matrix(
+                np.asarray(mags), np.asarray(signs),
+                p.qfloat_len, p.qfloat_ints, p.qfloat_base,
+            )
         return qfloat_and_signs_arrays_to_float_matrix(
-            out_arrays, p.qfloat_ints, p.qfloat_base
+            np.asarray(out), p.qfloat_ints, p.qfloat_base
         )
 
-    def run_raw(self, digits, signs):
-        """Device digits/signs -> device output arrays (async)."""
-        return self.circuit(digits, signs)
+    def run_raw(self, *device_args):
+        """Device input tensors -> device output tensors (async)."""
+        return self.circuit(*device_args)
 
     def run(self, matrices: np.ndarray) -> np.ndarray:
         p = self.params
         assert matrices.shape == (self.batch_size, p.n, p.n)
-        digits, signs = self.quantize(matrices)
-        out = self.circuit(
-            jnp.asarray(digits, jnp.int64), jnp.asarray(signs, jnp.int64)
-        )
-        return self.dequantize(np.asarray(jax.block_until_ready(out)))
+        a, b = self.quantize(matrices)
+        out = self.circuit(jnp.asarray(a, jnp.int64), jnp.asarray(b, jnp.int64))
+        return self.dequantize(jax.block_until_ready(out))

@@ -1,0 +1,69 @@
+"""Pallas division kernel: bit-exactness vs the XLA fori_loop path.
+
+Runs in interpreter mode on the CPU test mesh; the same kernel compiles
+natively on TPU (exercised by bench.py / the driver's compile check).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from matrix_inversion_tpu.ops import pallas_kernels as pk
+
+
+@pytest.mark.parametrize("bits", [1, 2])
+@pytest.mark.parametrize("n", [17, 1024, 5000])
+def test_division_parity(rng, bits, n):
+    n_digits = 60 // bits
+    maxv = 1 << (n_digits * bits)
+    dividend = rng.randint(0, maxv, size=n).astype(np.int64)
+    divisor = rng.randint(0, 1 << 40, size=n).astype(np.int64)
+    divisor[:3] = 0  # include saturation cases
+    q = np.asarray(
+        pk.batched_long_division(
+            jnp.asarray(dividend), jnp.asarray(divisor), n_digits, bits,
+            interpret=True,
+        )
+    )
+    nz = divisor != 0
+    np.testing.assert_array_equal(q[nz], dividend[nz] // divisor[nz])
+    np.testing.assert_array_equal(q[~nz], np.full(np.sum(~nz), maxv - 1))
+
+
+def test_division_scalar_dividend(rng):
+    # the invert() case: one constant dividend against a batch of divisors
+    n_digits, bits = 61, 1
+    dividend = jnp.asarray(1 << 60, jnp.int64)
+    divisor = rng.randint(1, 1 << 40, size=300).astype(np.int64)
+    q = np.asarray(
+        pk.batched_long_division(dividend, jnp.asarray(divisor), n_digits, bits,
+                                 interpret=True)
+    )
+    np.testing.assert_array_equal(q, (1 << 60) // divisor)
+
+
+def test_packed_division_routes_to_pallas(rng):
+    """Force the Pallas path through PackedQFloat and compare to XLA."""
+    from matrix_inversion_tpu.ops import packed as packed_mod
+    from matrix_inversion_tpu.ops.packed import PackedQFloat
+
+    d1 = rng.randint(0, 2, size=(4200, 23))
+    d2 = rng.randint(0, 2, size=(4200, 23))
+    d2[:, :12] = 0
+    s = np.ones(4200, dtype=np.int64)
+    a = PackedQFloat.from_digits(d1, 9, 2, s)
+    b = PackedQFloat.from_digits(d2, 9, 2, s)
+    expected = (a.copy() / b.copy()).to_digits()
+
+    # interpret-mode Pallas on CPU
+    import functools
+
+    orig = pk.batched_long_division
+    try:
+        packed_mod.set_pallas_division(True)
+        pk.batched_long_division = functools.partial(orig, interpret=True)
+        got = (a.copy() / b.copy()).to_digits()
+    finally:
+        packed_mod.set_pallas_division(None)
+        pk.batched_long_division = orig
+    np.testing.assert_array_equal(np.asarray(expected), np.asarray(got))
