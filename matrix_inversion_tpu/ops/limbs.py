@@ -263,6 +263,19 @@ def tidy_to_sign_mag(arr, base: int):
     return mag, sign
 
 
+def tensor_fast_boolean_mul(x, boolean):
+    """Packed boolean multiply via a lookup-style select.
+
+    Port of the reference's (disabled) TLU micro-optimization
+    (base_p_arrays.py:359-365): packs ``x`` and a 0/1 flag into one value
+    and selects with a single table-lookup-shaped op.  On TPU the TLU maps
+    to a ``where`` on the unpacked flag bit — kept for capability parity;
+    ``x * boolean`` fuses identically under XLA.
+    """
+    pack = (x * 2) + boolean
+    return jnp.where(pack & 1 == 0, 0, pack >> 1)
+
+
 # The reference's tensorized variants (base_p_arrays.py:142-242) operate on a
 # stacked leading axis; every kernel above already broadcasts over leading
 # axes, so the multi_* names are aliases kept for API parity.

@@ -36,6 +36,55 @@ from ..models.marshal import (
 )
 
 
+@functools.lru_cache(maxsize=128)
+def _circuit_fn(params: QFloatParams, backend: str, io: str):
+    """Shared circuit body per (params, backend, io) — one jit entry per
+    configuration regardless of how many API objects are constructed."""
+    p = params
+    if io == "packed":
+        from ..models.inverse import qfloat_matrix_inverse_packed_io
+
+        return functools.partial(
+            qfloat_matrix_inverse_packed_io,
+            n=p.n,
+            qfloat_len=p.qfloat_len,
+            qfloat_ints=p.qfloat_ints,
+            qfloat_base=p.qfloat_base,
+            true_division=p.true_division,
+            tensorize=p.tensorize,
+        )
+    return functools.partial(
+        qfloat_matrix_inverse,
+        n=p.n,
+        qfloat_len=p.qfloat_len,
+        qfloat_ints=p.qfloat_ints,
+        qfloat_base=p.qfloat_base,
+        true_division=p.true_division,
+        tensorize=p.tensorize,
+        backend=backend,
+    )
+
+
+@functools.lru_cache(maxsize=128)
+def _jitted_circuit(params: QFloatParams, backend: str, io: str):
+    return jax.jit(_circuit_fn(params, backend, io))
+
+
+@functools.lru_cache(maxsize=128)
+def _compiled_circuit(params: QFloatParams, backend: str, io: str, batch_shape):
+    """AOT-compiled executable, memoized per configuration and batch shape."""
+    p = params
+    if io == "packed":
+        arg0 = jax.ShapeDtypeStruct(batch_shape + (p.n * p.n,), jnp.int64)
+        arg1 = arg0
+    else:
+        arg0 = jax.ShapeDtypeStruct(
+            batch_shape + (p.n * p.n, p.qfloat_len), jnp.int64
+        )
+        arg1 = jax.ShapeDtypeStruct(batch_shape + (p.n * p.n,), jnp.int64)
+    return _jitted_circuit(params, backend, io).lower(arg0, arg1).compile()
+
+
 class EncryptedMatrixInversion:
     """Single-matrix inversion API, mirroring reference main.py:17-116."""
 
@@ -71,24 +120,11 @@ class EncryptedMatrixInversion:
                 assert np.issubdtype(sample.dtype, np.floating)
                 assert sample.shape == self.shape
 
-        p = self.params
-        fn = functools.partial(
-            qfloat_matrix_inverse,
-            n=p.n,
-            qfloat_len=p.qfloat_len,
-            qfloat_ints=p.qfloat_ints,
-            qfloat_base=p.qfloat_base,
-            true_division=p.true_division,
-            tensorize=p.tensorize,
-            backend=self.backend,
-        )
-        self._fn = fn
-        self._jitted = jax.jit(fn)
-        digits = jax.ShapeDtypeStruct((n * n, p.qfloat_len), jnp.int64)
-        signs = jax.ShapeDtypeStruct((n * n,), jnp.int64)
+        self._fn = _circuit_fn(self.params, self.backend, "digits")
+        self._jitted = _jitted_circuit(self.params, self.backend, "digits")
         # "compile" — the reference's minutes-long concrete step is an XLA
-        # AOT compile here (reference main.py:66)
-        self.circuit = self._jitted.lower(digits, signs).compile()
+        # AOT compile here (reference main.py:66), memoized per config
+        self.circuit = _compiled_circuit(self.params, self.backend, "digits", ())
 
     # ---- lifecycle steps (reference main.py:68-91) ------------------------
     def keygen(self):
@@ -179,45 +215,30 @@ class BatchedMatrixInversion:
         self.batch_size = batch_size
         p = params
 
-        if io == "packed":
-            from ..models.inverse import qfloat_matrix_inverse_packed_io
-
-            fn = functools.partial(
-                qfloat_matrix_inverse_packed_io,
-                n=p.n,
-                qfloat_len=p.qfloat_len,
-                qfloat_ints=p.qfloat_ints,
-                qfloat_base=p.qfloat_base,
-                true_division=p.true_division,
-                tensorize=p.tensorize,
-            )
-            arg0 = jax.ShapeDtypeStruct((batch_size, p.n * p.n), jnp.int64)
-            arg1 = arg0
+        self._fn = _circuit_fn(self.params, self.backend, io)
+        if in_shardings is not None or out_shardings is not None or donate:
+            kw = {}
+            if in_shardings is not None:
+                kw["in_shardings"] = in_shardings
+            if out_shardings is not None:
+                kw["out_shardings"] = out_shardings
+            if donate:
+                kw["donate_argnums"] = (0, 1)
+            self._jitted = jax.jit(self._fn, **kw)
+            if io == "packed":
+                arg0 = jax.ShapeDtypeStruct((batch_size, p.n * p.n), jnp.int64)
+                arg1 = arg0
+            else:
+                arg0 = jax.ShapeDtypeStruct(
+                    (batch_size, p.n * p.n, p.qfloat_len), jnp.int64
+                )
+                arg1 = jax.ShapeDtypeStruct((batch_size, p.n * p.n), jnp.int64)
+            self.circuit = self._jitted.lower(arg0, arg1).compile()
         else:
-            fn = functools.partial(
-                qfloat_matrix_inverse,
-                n=p.n,
-                qfloat_len=p.qfloat_len,
-                qfloat_ints=p.qfloat_ints,
-                qfloat_base=p.qfloat_base,
-                true_division=p.true_division,
-                tensorize=p.tensorize,
-                backend=self.backend,
+            self._jitted = _jitted_circuit(self.params, self.backend, io)
+            self.circuit = _compiled_circuit(
+                self.params, self.backend, io, (batch_size,)
             )
-            arg0 = jax.ShapeDtypeStruct(
-                (batch_size, p.n * p.n, p.qfloat_len), jnp.int64
-            )
-            arg1 = jax.ShapeDtypeStruct((batch_size, p.n * p.n), jnp.int64)
-        self._fn = fn
-        kw = {}
-        if in_shardings is not None:
-            kw["in_shardings"] = in_shardings
-        if out_shardings is not None:
-            kw["out_shardings"] = out_shardings
-        if donate:
-            kw["donate_argnums"] = (0, 1)
-        self._jitted = jax.jit(fn, **kw)
-        self.circuit = self._jitted.lower(arg0, arg1).compile()
 
     def quantize(self, matrices: np.ndarray):
         p = self.params
