@@ -1,0 +1,161 @@
+"""Benchmark driver: precision tables, throughput, and scaling efficiency.
+
+Reproduces the reference's published benchmark methodology (README Tables
+1-3; BASELINE.md) on this framework and writes JSON results under
+``benchmarks/results/``.
+
+Usage:
+  python benchmarks/run_benchmarks.py precision [--N 10000] [--sizes 2,3,4,5,10]
+  python benchmarks/run_benchmarks.py throughput [--batch 262144]
+  python benchmarks/run_benchmarks.py scaling [--batch 65536]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+RESULTS_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "results")
+
+
+def write_result(name, payload):
+    os.makedirs(RESULTS_DIR, exist_ok=True)
+    path = os.path.join(RESULTS_DIR, f"{name}.json")
+    with open(path, "w") as fh:
+        json.dump(payload, fh, indent=2)
+    print(json.dumps(payload))
+    print("wrote", path)
+
+
+def cmd_precision(args):
+    """README Table 1: mean error + big-error rate per preset and size."""
+    import matrix_inversion_tpu as mi
+    from matrix_inversion_tpu.utils.precision import precision_benchmark
+
+    sizes = [int(s) for s in args.sizes.split(",")]
+    presets = args.presets.split(",")
+    table = {}
+    for preset_name in presets:
+        preset = mi.PRESETS[preset_name]
+        for n in sizes:
+            p = preset.replace(n=n)
+            t0 = time.time()
+            stats = precision_benchmark(
+                p, N=args.N, batch_size=min(args.N, args.batch), seed=0
+            )
+            stats["wall_s"] = round(time.time() - t0, 2)
+            table[f"{preset_name}/n={n}"] = stats
+            print(preset_name, n, stats)
+    write_result("precision", table)
+
+
+def cmd_throughput(args):
+    """Per-chip throughput across sizes/presets (packed IO)."""
+    import jax
+    import jax.numpy as jnp
+    import matrix_inversion_tpu as mi
+    from matrix_inversion_tpu.runtime.api import BatchedMatrixInversion
+
+    results = {}
+    for preset_name, n in [("low", 2), ("medium", 3), ("high", 4), ("high", 5)]:
+        p = mi.PRESETS[preset_name].replace(n=n)
+        inv = BatchedMatrixInversion(p, args.batch, backend="packed", io="packed")
+        rng = np.random.RandomState(0)
+        M = rng.randn(args.batch, n, n) * 100
+        mags, signs = inv.quantize(M)
+        m = jax.device_put(jnp.asarray(mags))
+        s = jax.device_put(jnp.asarray(signs))
+        out = inv.run_raw(m, s)
+        jax.block_until_ready(out)
+        _ = np.asarray(out[0][0, 0])
+        t0 = time.time()
+        mm, ss = m, s
+        for _ in range(args.reps):
+            mm, ss = inv.run_raw(mm, ss)
+        jax.block_until_ready((mm, ss))
+        _ = np.asarray(mm[0, 0])
+        elapsed = time.time() - t0
+        results[f"{preset_name}/n={n}"] = {
+            "inversions_per_s": round(args.batch * args.reps / elapsed, 1),
+            "batch": args.batch,
+            "reps": args.reps,
+            "elapsed_s": round(elapsed, 4),
+        }
+        print(results[f"{preset_name}/n={n}"])
+    write_result("throughput", results)
+
+
+def cmd_scaling(args):
+    """Data-parallel scaling efficiency across mesh sizes.
+
+    On a real pod this measures ICI/DCN scaling; on the CPU test mesh it
+    validates the sharded program structure end-to-end.
+    """
+    import jax
+    import jax.numpy as jnp
+    import matrix_inversion_tpu as mi
+    from matrix_inversion_tpu.models.marshal import float_matrix_to_qfloat_arrays
+    from matrix_inversion_tpu.parallel.mesh import data_parallel_inverse, make_mesh
+
+    p = mi.PRESETS["high"].replace(n=4)
+    n_dev_total = len(jax.devices())
+    rng = np.random.RandomState(0)
+    M = rng.randn(args.batch, 4, 4) * 100
+    digits, signs = float_matrix_to_qfloat_arrays(
+        M, p.qfloat_len, p.qfloat_ints, p.qfloat_base
+    )
+
+    results = {}
+    base_rate = None
+    sizes = [d for d in (1, 2, 4, 8, 16, 32) if d <= n_dev_total]
+    for nd in sizes:
+        mesh = make_mesh(nd, ("data",))
+        fn = data_parallel_inverse(p, mesh, "packed")
+        d = jnp.asarray(digits)
+        s = jnp.asarray(signs)
+        out = fn(d, s)
+        jax.block_until_ready(out)
+        t0 = time.time()
+        for _ in range(args.reps):
+            out = fn(d, s)
+        jax.block_until_ready(out)
+        elapsed = time.time() - t0
+        rate = args.batch * args.reps / elapsed
+        if base_rate is None:
+            base_rate = rate
+        results[f"devices={nd}"] = {
+            "inversions_per_s": round(rate, 1),
+            "speedup": round(rate / base_rate, 3),
+            "efficiency_pct": round(100 * rate / (base_rate * nd), 1),
+        }
+        print(nd, results[f"devices={nd}"])
+    write_result("scaling", results)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    sub = ap.add_subparsers(dest="cmd", required=True)
+    pr = sub.add_parser("precision")
+    pr.add_argument("--N", type=int, default=10000)
+    pr.add_argument("--sizes", default="2,3,4,5,10")
+    pr.add_argument("--presets", default="low,medium,medium+,high")
+    pr.add_argument("--batch", type=int, default=4096)
+    th = sub.add_parser("throughput")
+    th.add_argument("--batch", type=int, default=262144)
+    th.add_argument("--reps", type=int, default=10)
+    sc = sub.add_parser("scaling")
+    sc.add_argument("--batch", type=int, default=65536)
+    sc.add_argument("--reps", type=int, default=3)
+    args = ap.parse_args()
+    {"precision": cmd_precision, "throughput": cmd_throughput, "scaling": cmd_scaling}[
+        args.cmd
+    ](args)
+
+
+if __name__ == "__main__":
+    main()
