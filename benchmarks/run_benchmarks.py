@@ -134,11 +134,26 @@ def cmd_scaling(args):
             "efficiency_pct": round(100 * rate / (base_rate * nd), 1),
         }
         print(nd, results[f"devices={nd}"])
+    if jax.devices()[0].platform == "cpu":
+        results["note"] = (
+            "virtual host devices share the same physical cores, so speedup "
+            "numbers here only validate the sharded program structure — one "
+            "CPU 'device' already uses all cores via XLA threading.  Real "
+            "ICI/DCN efficiency requires a multi-chip pod."
+        )
     write_result("scaling", results)
 
 
 def main():
     ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--platform",
+        default=None,
+        help="force a jax platform (e.g. 'cpu'); env JAX_PLATFORMS is "
+        "overridden by this machine's sitecustomize, so use this flag",
+    )
+    ap.add_argument("--host-devices", type=int, default=None,
+                    help="virtual host device count (cpu platform)")
     sub = ap.add_subparsers(dest="cmd", required=True)
     pr = sub.add_parser("precision")
     pr.add_argument("--N", type=int, default=10000)
@@ -152,6 +167,15 @@ def main():
     sc.add_argument("--batch", type=int, default=65536)
     sc.add_argument("--reps", type=int, default=3)
     args = ap.parse_args()
+    if args.host_devices:
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "")
+            + f" --xla_force_host_platform_device_count={args.host_devices}"
+        )
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
     {"precision": cmd_precision, "throughput": cmd_throughput, "scaling": cmd_scaling}[
         args.cmd
     ](args)
