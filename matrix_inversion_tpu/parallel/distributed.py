@@ -1,0 +1,73 @@
+"""Multi-host (DCN) initialization and batch-sharding helpers.
+
+The reference is strictly single-process (SURVEY.md section 2, parallelism
+checklist).  This module is the multi-host entry point for the TPU build:
+one process per host joins a ``jax.distributed`` cluster, the global mesh
+spans all chips, and each host feeds its local shard of the inversion
+batch.  On a single host everything degrades to the local mesh.
+
+Scaling model (BASELINE.md north star): batches of independent inversions
+shard over the ``data`` axis; collectives only carry reduction statistics,
+so DCN traffic is O(1) per step and >=80% scaling efficiency at 2 hosts is
+bandwidth-trivial — the binding constraint is host-side data feeding,
+which is why quantization runs in the native C++ marshaller.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+
+def initialize_distributed(coordinator_address=None, num_processes=None,
+                           process_id=None):
+    """Join (or no-op) a multi-host jax.distributed cluster.
+
+    Arguments default from the standard env vars
+    (JAX_COORDINATOR_ADDRESS, JAX_NUM_PROCESSES, JAX_PROCESS_ID); with no
+    configuration present this is a single-process no-op so the same
+    program runs on one host or many.
+    """
+    import jax
+
+    coordinator_address = coordinator_address or os.environ.get(
+        "JAX_COORDINATOR_ADDRESS"
+    )
+    if num_processes is None:
+        num_processes = int(os.environ.get("JAX_NUM_PROCESSES", "0") or 0)
+    if process_id is None:
+        process_id = int(os.environ.get("JAX_PROCESS_ID", "-1") or -1)
+
+    if not coordinator_address or num_processes <= 1:
+        return False  # single host
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+    return True
+
+
+def global_batch_arrays(local_arrays, mesh, spec):
+    """Assemble a globally-sharded array from per-host local shards.
+
+    ``local_arrays``: this host's shard (numpy); the returned
+    ``jax.Array`` is the global batch laid out per ``spec`` on ``mesh``
+    without any cross-host data movement.
+    """
+    import jax
+    from jax.sharding import NamedSharding
+
+    sharding = NamedSharding(mesh, spec)
+    return jax.make_array_from_process_local_data(sharding, np.asarray(local_arrays))
+
+
+def host_local_slice(global_batch_size, mesh, axis="data"):
+    """(start, size) of this process's slice of the global batch axis."""
+    import jax
+
+    n_proc = jax.process_count()
+    pid = jax.process_index()
+    per = global_batch_size // n_proc
+    return pid * per, per
