@@ -22,22 +22,13 @@ from matrix_inversion_tpu.models.marshal import (
 
 
 def run_inverse(M, params, backend):
+    from matrix_inversion_tpu.runtime.api import _jitted_circuit
+
     p = params
     digits, signs = float_matrix_to_qfloat_arrays(
         M, p.qfloat_len, p.qfloat_ints, p.qfloat_base
     )
-    fn = jax.jit(
-        functools.partial(
-            qfloat_matrix_inverse,
-            n=p.n,
-            qfloat_len=p.qfloat_len,
-            qfloat_ints=p.qfloat_ints,
-            qfloat_base=p.qfloat_base,
-            true_division=p.true_division,
-            tensorize=p.tensorize,
-            backend=backend,
-        )
-    )
+    fn = _jitted_circuit(p.replace(backend=backend), backend, "digits")
     out = fn(jnp.asarray(digits), jnp.asarray(signs))
     return np.asarray(out), qfloat_and_signs_arrays_to_float_matrix(
         np.asarray(out), p.qfloat_ints, p.qfloat_base

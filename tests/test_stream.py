@@ -1,0 +1,33 @@
+"""Streaming executor: correctness of the pipelined path."""
+
+import numpy as np
+
+from matrix_inversion_tpu import LOW
+from matrix_inversion_tpu.runtime.api import BatchedMatrixInversion
+from matrix_inversion_tpu.runtime.stream import StreamingInverter
+
+
+def test_streaming_matches_direct(rng):
+    p = LOW.replace(n=3)
+    B = 8
+    inv = BatchedMatrixInversion(p, B, backend="packed", io="packed")
+    batches = [rng.randn(B, 3, 3) * 100 for _ in range(5)]
+
+    stream = StreamingInverter(inv, depth=2)
+    streamed = list(stream.run(iter(batches)))
+    assert len(streamed) == 5
+    for M, out in zip(batches, streamed):
+        direct = inv.run(M)
+        np.testing.assert_array_equal(out, direct)
+
+
+def test_streaming_depth_one(rng):
+    p = LOW.replace(n=2)
+    B = 4
+    inv = BatchedMatrixInversion(p, B, backend="packed", io="packed")
+    batches = [rng.randn(B, 2, 2) * 100 for _ in range(3)]
+    outs = list(StreamingInverter(inv, depth=1).run(iter(batches)))
+    assert len(outs) == 3
+    for M, out in zip(batches, outs):
+        err = np.mean(np.abs(out - np.linalg.inv(M)))
+        assert err < 1.0
