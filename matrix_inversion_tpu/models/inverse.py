@@ -107,6 +107,36 @@ def qfloat_matrix_inverse_packed_io(
     )
 
 
+def qfloat_matrix_inverse_with_overflow(
+    mags,
+    signs,
+    n,
+    qfloat_len,
+    qfloat_ints,
+    qfloat_base,
+    true_division,
+    tensorize=False,
+):
+    """Packed-I/O inverse that also reports a per-matrix overflow flag.
+
+    Implements the reference's open TODO (reference qfloat.py:255-257):
+    overflow past the top digit — the documented main big-error source
+    (reference README.md:119-121) — is detected at every normalization and
+    OR-reduced into one int flag per batch element, so callers can reject
+    or retry saturated results instead of silently consuming them.
+    Returns ``(out_mags, out_signs, overflowed)``.
+    """
+    from ..ops.packed import track_overflow
+
+    with track_overflow() as tracker:
+        out_mags, out_signs = qfloat_matrix_inverse_packed_io(
+            mags, signs, n, qfloat_len, qfloat_ints, qfloat_base,
+            true_division, tensorize,
+        )
+        flag = tracker.combined(mags.shape[:-1])
+    return out_mags, out_signs, flag
+
+
 def qfloat_pivot(qfloat_arrays, qfloat_signs, params, backend="limb"):
     """Pivot-only partial circuit (reference qfloat_matrix_inversion.py:592-609)."""
     [n, qfloat_len, qfloat_ints, qfloat_base, *_] = params

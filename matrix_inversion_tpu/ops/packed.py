@@ -57,6 +57,54 @@ MAG_DTYPE = jnp.int64
 _PALLAS_DIVISION = None
 _PALLAS_MIN_BATCH = 4096
 
+# Optional overflow tracking — implements the reference's open TODO
+# (reference qfloat.py:255-257, 623-624): overflow past the top digit is
+# the reference's main big-error source and is silently dropped there.
+# Inside a `track_overflow()` scope, every normalization records whether
+# the pre-mask value exceeded the representable range.
+_OVERFLOW_TRACKER = None
+
+
+class OverflowTracker:
+    def __init__(self):
+        self.flags = []
+
+    def record(self, flag):
+        self.flags.append(flag)
+
+    def combined(self, batch_shape=None):
+        """OR of all recorded flags, reduced to ``batch_shape``.
+
+        Flags recorded by grouped (stacked) ops carry extra leading axes;
+        those are any-reduced away so the result is one flag per batch
+        element.
+        """
+        if not self.flags:
+            return jnp.zeros(batch_shape or (), jnp.int32)
+        if batch_shape is None:
+            batch_shape = min((f.shape for f in self.flags), key=len)
+        out = jnp.zeros(batch_shape, jnp.bool_)
+        for f in self.flags:
+            while f.ndim > len(batch_shape):
+                f = jnp.any(f, axis=0)
+            out = out | f
+        return out.astype(jnp.int32)
+
+
+class track_overflow:
+    """Context manager enabling overflow recording at trace time."""
+
+    def __enter__(self):
+        global _OVERFLOW_TRACKER
+        self._prev = _OVERFLOW_TRACKER
+        _OVERFLOW_TRACKER = OverflowTracker()
+        return _OVERFLOW_TRACKER
+
+    def __exit__(self, *exc):
+        global _OVERFLOW_TRACKER
+        _OVERFLOW_TRACKER = self._prev
+        return False
+
 
 def set_pallas_division(enabled):
     """Force the Pallas division kernel on/off (None = auto: TPU only)."""
@@ -233,9 +281,13 @@ class PackedQFloat(QFloatBase):
 
         Equals reference qfloat.py:607-673: overflow past the top digit is
         dropped (mod base**L on the absolute value), sign of zero is +1.
+        Inside a ``track_overflow()`` scope the dropped carry is recorded.
         """
-        mag = jnp.abs(v) & self._mask()
+        av = jnp.abs(v)
+        mag = av & self._mask()
         sign = jnp.where((v < 0) & (mag != 0), -1, 1).astype(MAG_DTYPE)
+        if _OVERFLOW_TRACKER is not None:
+            _OVERFLOW_TRACKER.record(av > self._mask())
         return mag, sign
 
     # ---- comparisons ------------------------------------------------------
@@ -446,6 +498,9 @@ class PackedQFloat(QFloatBase):
             raise ValueError("division dividend too wide for packed backend")
         dividend = self._mag << (self._bits * fp)
         q = other._long_division(dividend, n_digits)
+        if _OVERFLOW_TRACKER is not None:
+            # quotient digits beyond the kept window are dropped overflow
+            _OVERFLOW_TRACKER.record((q >> (self._bits * self._length)) != 0)
         self._mag = q & self._mask()  # keep the trailing `length` digits
         self._sign = self.sign * other.sign
         return self
@@ -467,6 +522,8 @@ class PackedQFloat(QFloatBase):
         q = self._long_division(dividend, n_digits)
         diff = newlength - n_digits
         if diff < 0:
+            if _OVERFLOW_TRACKER is not None:
+                _OVERFLOW_TRACKER.record((q >> (self._bits * newlength)) != 0)
             q = q & ((1 << (self._bits * newlength)) - 1)
         sb = sign.value if isinstance(sign, SignedBinary) else sign
         return PackedQFloat(q, newlength, newints, self._base, sb * self.sign)
@@ -499,6 +556,10 @@ class PackedQFloat(QFloatBase):
         q_mags = stacked._long_division(dividend, n_digits)
         diff = newlength - n_digits
         if diff < 0:
+            if _OVERFLOW_TRACKER is not None:
+                _OVERFLOW_TRACKER.record(
+                    jnp.any((q_mags >> (qf0._bits * newlength)) != 0, axis=0)
+                )
             q_mags = q_mags & ((1 << (qf0._bits * newlength)) - 1)
         sb = sign.value if isinstance(sign, SignedBinary) else sign
         return [
@@ -566,4 +627,8 @@ def _mul_window_packed(a_mag, a_ints, a_len, b_mag, b_ints, b_len,
 
     # zero carry derived from the operands (keeps shard_map varying axes)
     acc, _ = lax.scan(step, au * jnp.uint64(0) + bu * jnp.uint64(0), consts)
+    if _OVERFLOW_TRACKER is not None:
+        # carry out of the output window = dropped overflow (best effort:
+        # bits above 2**64 wrap and are undetectable)
+        _OVERFLOW_TRACKER.record((acc & ~out_mask) != jnp.uint64(0))
     return (acc & out_mask).astype(MAG_DTYPE)
