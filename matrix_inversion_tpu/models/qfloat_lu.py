@@ -57,6 +57,32 @@ def zero_list_matrix(n):
 def qfloat_list_dot_product(list1, list2, tensorize=False):
     if len(list1) != len(list2):
         raise ValueError("Lists should have the same length.")
+    if _all_packed(list1) and _all_packed(list2):
+        # Packed backend: the tensorize=False and tensorize=True variants of
+        # the reference are value-identical (verified in tests), so always
+        # take the grouped path, and replay the sequential iadd chain as one
+        # scan (PackedQFloat.iadd_chain) — same results, O(1) graph nodes.
+        multiplications = qf_multi_from_mul(list1, list2, None, None)
+        result = multiplications[0]
+        run = []
+        from ..ops.packed import PackedQFloat
+
+        for m in multiplications[1:]:
+            if (
+                isinstance(result, PackedQFloat)
+                and isinstance(m, PackedQFloat)
+                and len(m) == len(result)
+                and m.ints == result.ints
+            ):
+                run.append(m)
+            else:
+                if run:
+                    result = result.iadd_chain(run)
+                    run = []
+                result += m
+        if run:
+            result = result.iadd_chain(run) if len(run) > 1 else result.__iadd__(run[0])
+        return result
     if tensorize:
         multiplications = qf_multi_from_mul(list1, list2, None, None)
         result = multiplications[0]
@@ -67,6 +93,20 @@ def qfloat_list_dot_product(list1, list2, tensorize=False):
         for i in range(1, len(list1)):
             result += list1[i] * list2[i]
     return result
+
+
+def _all_packed(cells):
+    """All QFloat cells in the list are packed (Zero/SignedBinary allowed)."""
+    from ..core.qfloat import QFloatBase
+    from ..ops.packed import PackedQFloat
+
+    any_qf = False
+    for c in cells:
+        if isinstance(c, QFloatBase):
+            any_qf = True
+            if not isinstance(c, PackedQFloat):
+                return False
+    return any_qf
 
 
 def qfloat_list_matrix_multiply(matrix1, matrix2):

@@ -328,6 +328,46 @@ class PackedQFloat(QFloatBase):
         self._mag, self._sign = self._tidy_signed(v)
         return self
 
+    def iadd_chain(self, others):
+        """Sequential in-place adds ``self += o`` for each of ``others``,
+        replayed as one ``lax.scan``.
+
+        Bit-identical to the equivalent Python loop of ``__iadd__`` calls
+        (the scan body is exactly the iadd+tidy recurrence, applied in list
+        order — order matters in overflow cases), but costs O(1) graph
+        nodes instead of O(len(others)).
+        """
+        for o in others:
+            self.check_compatibility(o)
+        QFloatBase.ADDITIONS += len(others)
+        mags = jnp.stack(
+            [jnp.broadcast_to(o._mag, self._mag.shape) for o in others]
+        )
+        signs = jnp.stack(
+            [
+                jnp.broadcast_to(jnp.asarray(o._sign, MAG_DTYPE), self._mag.shape)
+                for o in others
+            ]
+        )
+        mask = self._mask()
+
+        def body(state, x):
+            m, s = state
+            om, osgn = x
+            v = m * s + om * osgn
+            av = jnp.abs(v)
+            mag = av & mask
+            sign = jnp.where((v < 0) & (mag != 0), -1, 1).astype(MAG_DTYPE)
+            return (mag, sign), (av > mask)
+
+        init_sign = jnp.broadcast_to(jnp.asarray(self._sign, MAG_DTYPE), self._mag.shape)
+        (mag, sign), ovf = lax.scan(body, (self._mag, init_sign), (mags, signs))
+        if _OVERFLOW_TRACKER is not None:
+            _OVERFLOW_TRACKER.record(jnp.any(ovf, axis=0))
+        self._mag = mag
+        self._sign = sign
+        return self
+
     # ---- multiplication ---------------------------------------------------
     def __imul__(self, other):
         if _is_number_like(other):

@@ -19,6 +19,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
@@ -123,20 +124,32 @@ def batched_long_division(dividend, divisor, n_digits: int, bits: int,
         flat_v = jnp.concatenate([flat_v, jnp.zeros((pad,), jnp.int64)])
         flat_d = jnp.concatenate([flat_d, jnp.ones((pad,), jnp.int64)])
 
+    # round rows up to a whole number of tiles
+    if rows % tile_rows:
+        tile_rows = min(tile_rows, rows)
+        new_rows = ((rows + tile_rows - 1) // tile_rows) * tile_rows
+        extra = (new_rows - rows) * LANES
+        flat_v = jnp.concatenate([flat_v, jnp.zeros((extra,), jnp.int64)])
+        flat_d = jnp.concatenate([flat_d, jnp.ones((extra,), jnp.int64)])
+        rows, padded = new_rows, new_rows * LANES
+    tile_rows = min(tile_rows, rows)
+
     vhi, vlo = _split64(flat_v.reshape(rows, LANES))
     dhi, dlo = _split64(flat_d.reshape(rows, LANES))
 
-    qhis, qlos = [], []
-    for lo_row in range(0, rows, tile_rows):
-        hi_row = min(rows, lo_row + tile_rows)
-        sl = slice(lo_row, hi_row)
-        qhi_c, qlo_c = _division_call(
-            vhi[sl], vlo[sl], dhi[sl], dlo[sl], n_digits, bits, interpret
+    n_chunks = rows // tile_rows
+    if n_chunks == 1:
+        qhi, qlo = _division_call(vhi, vlo, dhi, dlo, n_digits, bits, interpret)
+    else:
+        # one kernel lowering, looped by XLA over the chunk axis — keeps
+        # compile time independent of the batch size
+        chunked = lambda a: a.reshape(n_chunks, tile_rows, LANES)
+        qhi, qlo = lax.map(
+            lambda args: _division_call(*args, n_digits, bits, interpret),
+            (chunked(vhi), chunked(vlo), chunked(dhi), chunked(dlo)),
         )
-        qhis.append(qhi_c)
-        qlos.append(qlo_c)
-    qhi = jnp.concatenate(qhis, axis=0) if len(qhis) > 1 else qhis[0]
-    qlo = jnp.concatenate(qlos, axis=0) if len(qlos) > 1 else qlos[0]
+        qhi = qhi.reshape(rows, LANES)
+        qlo = qlo.reshape(rows, LANES)
     q = _join64(qhi, qlo).reshape(-1)[:n].astype(jnp.int64)
     return q.reshape(shape)
 

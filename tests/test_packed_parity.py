@@ -140,3 +140,24 @@ def test_imul_equals_from_mul(rng):
     via_imul_p = p1.copy()
     via_imul_p *= p2
     assert_same(ref, via_imul_p)
+
+
+def test_iadd_chain_matches_loop(rng):
+    """Scanned iadd chain == sequential += loop, including overflow cases."""
+    B, L, ints = 64, 23, 9
+    digits = [rng.randint(0, 2, size=(B, L)) for _ in range(6)]
+    signs = [rng.choice([-1, 1], size=B) for _ in range(6)]
+    qs = [PackedQFloat.from_digits(d, ints, 2, s) for d, s in zip(digits, signs)]
+    # force overflow on some lanes: all-ones magnitudes
+    qs[2]._mag = qs[2]._mag | qs[2]._mask()
+
+    loop = qs[0].copy()
+    for q in qs[1:]:
+        loop += q
+    chained = qs[0].copy().iadd_chain([q.copy() for q in qs[1:]])
+    np.testing.assert_array_equal(
+        np.asarray(loop.mag), np.asarray(chained.mag)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(loop.sign), np.asarray(chained.sign)
+    )
