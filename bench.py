@@ -28,8 +28,8 @@ def main():
 
     platform = jax.devices()[0].platform
     on_tpu = platform not in ("cpu",)
-    batch = int(os.environ.get("BENCH_BATCH", 65536 if on_tpu else 256))
-    reps = int(os.environ.get("BENCH_REPS", 8 if on_tpu else 2))
+    batch = int(os.environ.get("BENCH_BATCH", 1048576 if on_tpu else 256))
+    reps = int(os.environ.get("BENCH_REPS", 10 if on_tpu else 2))
 
     params = HIGH.replace(n=4)
     t0 = time.time()

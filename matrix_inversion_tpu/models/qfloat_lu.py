@@ -57,7 +57,7 @@ def zero_list_matrix(n):
 def qfloat_list_dot_product(list1, list2, tensorize=False):
     if len(list1) != len(list2):
         raise ValueError("Lists should have the same length.")
-    if _all_packed(list1) and _all_packed(list2):
+    if len(list1) >= 6 and _all_packed(list1) and _all_packed(list2):
         # Packed backend: the tensorize=False and tensorize=True variants of
         # the reference are value-identical (verified in tests), so always
         # take the grouped path, and replay the sequential iadd chain as one
@@ -66,6 +66,15 @@ def qfloat_list_dot_product(list1, list2, tensorize=False):
         result = multiplications[0]
         run = []
         from ..ops.packed import PackedQFloat
+
+        def flush(result, run):
+            # the scan pays off only for long chains; short ones are faster
+            # unrolled (XLA fuses them into one kernel)
+            if len(run) >= 6:
+                return result.iadd_chain(run)
+            for m in run:
+                result += m
+            return result
 
         for m in multiplications[1:]:
             if (
@@ -77,11 +86,11 @@ def qfloat_list_dot_product(list1, list2, tensorize=False):
                 run.append(m)
             else:
                 if run:
-                    result = result.iadd_chain(run)
+                    result = flush(result, run)
                     run = []
                 result += m
         if run:
-            result = result.iadd_chain(run) if len(run) > 1 else result.__iadd__(run[0])
+            result = flush(result, run)
         return result
     if tensorize:
         multiplications = qf_multi_from_mul(list1, list2, None, None)

@@ -644,29 +644,49 @@ def _mul_window_consts(a_ints, a_len, b_ints, b_len, newlength, newints, bits):
     return u(a_sh), u(b_sh), u(b_mask), u(o_sh)
 
 
+# Multiply lowering style: "scan" keeps O(1) graph nodes per multiply and
+# measured FASTER end-to-end on v5e than the unrolled form (14.7M vs 9.0M
+# n=4 High inversions/s at 1M batch — XLA's loop codegen beats its fusion
+# of 40 dependent uint64 steps here); "unroll" kept for experiments.
+# None = auto: scan.
+_MUL_SCAN = None
+
+
+def set_mul_scan(enabled):
+    global _MUL_SCAN
+    _MUL_SCAN = enabled
+
+
 def _mul_window_packed(a_mag, a_ints, a_len, b_mag, b_ints, b_len,
                        newlength, newints, bits):
-    """Packed form of the cropped partial-product sum (see module docstring).
-
-    Runs as one ``lax.scan`` over the ``a_len`` partial products with
-    precomputed shift/mask constants, so each multiply costs O(1) graph
-    nodes regardless of the digit count (keeps XLA compile time flat).
-    """
+    """Packed form of the cropped partial-product sum (see module docstring)."""
     base_mask = jnp.uint64((1 << bits) - 1)
     out_mask = jnp.uint64((1 << (bits * newlength)) - 1)
     au = a_mag.astype(jnp.uint64)
     bu = b_mag.astype(jnp.uint64)
     consts = _mul_window_consts(a_ints, a_len, b_ints, b_len, newlength, newints, bits)
-    consts = tuple(jnp.asarray(c) for c in consts)
 
-    def step(acc, c):
-        a_sh, b_sh, b_mask, o_sh = c
-        a_i = (au >> a_sh) & base_mask
-        window = (bu >> b_sh) & b_mask
-        return acc + ((a_i * window) << o_sh), None
+    if _MUL_SCAN is None or _MUL_SCAN:
+        cs = tuple(jnp.asarray(c) for c in consts)
 
-    # zero carry derived from the operands (keeps shard_map varying axes)
-    acc, _ = lax.scan(step, au * jnp.uint64(0) + bu * jnp.uint64(0), consts)
+        def step(acc, c):
+            a_sh, b_sh, b_mask, o_sh = c
+            a_i = (au >> a_sh) & base_mask
+            window = (bu >> b_sh) & b_mask
+            return acc + ((a_i * window) << o_sh), None
+
+        # zero carry derived from the operands (keeps shard_map varying axes)
+        acc, _ = lax.scan(step, au * jnp.uint64(0) + bu * jnp.uint64(0), cs)
+    else:
+        a_shs, b_shs, b_masks, o_shs = consts
+        acc = au * jnp.uint64(0) + bu * jnp.uint64(0)
+        for i in range(a_len):
+            if b_masks[i] == 0:
+                continue
+            a_i = (au >> jnp.uint64(a_shs[i])) & base_mask
+            window = (bu >> jnp.uint64(b_shs[i])) & jnp.uint64(b_masks[i])
+            acc = acc + ((a_i * window) << jnp.uint64(o_shs[i]))
+
     if _OVERFLOW_TRACKER is not None:
         # carry out of the output window = dropped overflow (best effort:
         # bits above 2**64 wrap and are undetectable)
