@@ -296,6 +296,21 @@ class QFloatBase:
     def __ge__(self, other):
         return 1 - (other > self)
 
+    @classmethod
+    def check_convert_fhe(cls, qfloat, condition):
+        """No-op kept for API parity (reference qfloat.py:780-789).
+
+        jnp transparently mixes host and device operands, so clear->
+        encrypted promotion has no TPU analog.  (The reference version
+        would crash anyway: it assigns through always-raising property
+        setters — see SURVEY.md 2.3.)
+        """
+        return None
+
+    def self_check_convert_fhe(self, condition):
+        """No-op kept for API parity (reference qfloat.py:791-796)."""
+        return None
+
     def check_compatibility(self, other):
         """Reference qfloat.py:591-605."""
         if not isinstance(other, QFloatBase):

@@ -33,8 +33,6 @@ Two semantics notes (why this is exact, not approximate):
 
 from __future__ import annotations
 
-import numbers
-
 import jax
 import jax.numpy as jnp
 import numpy as np
