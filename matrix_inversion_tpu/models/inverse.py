@@ -77,6 +77,7 @@ def qfloat_matrix_inverse_packed_io(
     qfloat_base,
     true_division,
     tensorize=False,
+    vectorize_rows=True,
 ):
     """Full inverse with packed I/O: (..., n*n) int64 magnitudes + signs in,
     the same out.
@@ -85,6 +86,9 @@ def qfloat_matrix_inverse_packed_io(
     ``qfloat_len`` digit words on both sides of the circuit (40x less I/O
     and no per-cell pack/unpack stage at High precision).  Numerically
     identical to :func:`qfloat_matrix_inverse` on the packed backend.
+    ``vectorize_rows`` runs the substitution phase with the output-row loop
+    collapsed into a tensor axis (models/qfloat_lu_vec.py) — bit-identical
+    results, n times fewer traced ops.
     """
     assert n * n == mags.shape[-1]
     qfloat_M = mags_and_signs_to_qfloat_matrix(
@@ -99,9 +103,18 @@ def qfloat_matrix_inverse_packed_io(
         bin_P, qfloat_L, qfloat_U = qfloat_lu_decomposition(
             qfloat_M, qfloat_len, qfloat_ints, true_division, tensorize
         )
-        qfloat_Minv = qfloat_lu_inverse(
-            bin_P, qfloat_L, qfloat_U, qfloat_len, qfloat_ints, true_division, tensorize
-        )
+        if vectorize_rows:
+            from .qfloat_lu_vec import qfloat_lu_inverse_vec
+
+            qfloat_Minv = qfloat_lu_inverse_vec(
+                bin_P, qfloat_L, qfloat_U, qfloat_len, qfloat_ints,
+                true_division, tensorize,
+            )
+        else:
+            qfloat_Minv = qfloat_lu_inverse(
+                bin_P, qfloat_L, qfloat_U, qfloat_len, qfloat_ints,
+                true_division, tensorize,
+            )
     return qfloat_matrix_to_mags_and_signs(
         qfloat_Minv, qfloat_len, qfloat_ints, qfloat_base
     )

@@ -338,12 +338,13 @@ class PackedQFloat(QFloatBase):
         for o in others:
             self.check_compatibility(o)
         QFloatBase.ADDITIONS += len(others)
-        mags = jnp.stack(
-            [jnp.broadcast_to(o._mag, self._mag.shape) for o in others]
+        shape = jnp.broadcast_shapes(
+            self._mag.shape, *[o._mag.shape for o in others]
         )
+        mags = jnp.stack([jnp.broadcast_to(o._mag, shape) for o in others])
         signs = jnp.stack(
             [
-                jnp.broadcast_to(jnp.asarray(o._sign, MAG_DTYPE), self._mag.shape)
+                jnp.broadcast_to(jnp.asarray(o._sign, MAG_DTYPE), shape)
                 for o in others
             ]
         )
@@ -358,8 +359,9 @@ class PackedQFloat(QFloatBase):
             sign = jnp.where((v < 0) & (mag != 0), -1, 1).astype(MAG_DTYPE)
             return (mag, sign), (av > mask)
 
-        init_sign = jnp.broadcast_to(jnp.asarray(self._sign, MAG_DTYPE), self._mag.shape)
-        (mag, sign), ovf = lax.scan(body, (self._mag, init_sign), (mags, signs))
+        init_mag = jnp.broadcast_to(self._mag, shape)
+        init_sign = jnp.broadcast_to(jnp.asarray(self._sign, MAG_DTYPE), shape)
+        (mag, sign), ovf = lax.scan(body, (init_mag, init_sign), (mags, signs))
         if _OVERFLOW_TRACKER is not None:
             _OVERFLOW_TRACKER.record(jnp.any(ovf, axis=0))
         self._mag = mag
@@ -461,8 +463,16 @@ class PackedQFloat(QFloatBase):
             list_ab[i] = cls.from_mul(list_a[i], list_b[i], newlength, newints)
             return list_ab
 
-        a_stack = jnp.stack([list_a[i]._mag for i in idx_qf], axis=0)
-        b_stack = jnp.stack([list_b[i]._mag for i in idx_qf], axis=0)
+        shape = jnp.broadcast_shapes(
+            *[list_a[i]._mag.shape for i in idx_qf],
+            *[list_b[i]._mag.shape for i in idx_qf],
+        )
+        a_stack = jnp.stack(
+            [jnp.broadcast_to(list_a[i]._mag, shape) for i in idx_qf], axis=0
+        )
+        b_stack = jnp.stack(
+            [jnp.broadcast_to(list_b[i]._mag, shape) for i in idx_qf], axis=0
+        )
         mags = _mul_window_packed(
             a_stack, a0.ints, a0._length, b_stack, b0.ints, b0._length,
             newlength, newints, a0._bits,
