@@ -77,7 +77,7 @@ def qfloat_matrix_inverse_packed_io(
     qfloat_base,
     true_division,
     tensorize=False,
-    vectorize_rows=True,
+    vectorize_rows=None,
 ):
     """Full inverse with packed I/O: (..., n*n) int64 magnitudes + signs in,
     the same out.
@@ -88,8 +88,11 @@ def qfloat_matrix_inverse_packed_io(
     identical to :func:`qfloat_matrix_inverse` on the packed backend.
     ``vectorize_rows`` runs the substitution phase with the output-row loop
     collapsed into a tensor axis (models/qfloat_lu_vec.py) — bit-identical
-    results, n times fewer traced ops.
+    results, n times fewer traced ops.  None = auto: on for n >= 6 (compile
+    relief), off below (measured ~11% faster unvectorized at n=4 on v5e).
     """
+    if vectorize_rows is None:
+        vectorize_rows = n >= 6
     assert n * n == mags.shape[-1]
     qfloat_M = mags_and_signs_to_qfloat_matrix(
         mags, signs, qfloat_len, qfloat_ints, qfloat_base
