@@ -90,6 +90,58 @@ def cmd_throughput(args):
     write_result("throughput", results)
 
 
+def cmd_lowering(args):
+    """Scan vs unroll lowering ablation: compile time + throughput per n.
+
+    The scanned lowering (models/qfloat_lu_scan.py) trades some execution
+    speed for compile time independent of n; this measures both sides so
+    the auto threshold (models/inverse.py SCAN_LOWERING_MIN_N) stays
+    grounded in on-chip numbers.
+    """
+    import jax
+    import jax.numpy as jnp
+    import matrix_inversion_tpu as mi
+    from matrix_inversion_tpu.runtime.api import BatchedMatrixInversion
+
+    results = {}
+    sizes = [int(s) for s in args.sizes.split(",")]
+    for n in sizes:
+        for lowering in args.lowerings.split(","):
+            p = mi.PRESETS[args.preset].replace(n=n, lowering=lowering)
+            t0 = time.time()
+            try:
+                inv = BatchedMatrixInversion(
+                    p, args.batch, backend="packed", io="packed"
+                )
+            except Exception as e:  # e.g. unroll at huge n timing out
+                results[f"n={n}/{lowering}"] = {"error": str(e)}
+                continue
+            compile_s = time.time() - t0
+            rng = np.random.RandomState(0)
+            M = rng.randn(args.batch, n, n) * 100
+            mags, signs = inv.quantize(M)
+            m = jax.device_put(jnp.asarray(mags))
+            s = jax.device_put(jnp.asarray(signs))
+            out = inv.run_raw(m, s)
+            jax.block_until_ready(out)
+            _ = np.asarray(out[0][0, 0])
+            t0 = time.time()
+            mm, ss = m, s
+            for _ in range(args.reps):
+                mm, ss = inv.run_raw(mm, ss)
+            jax.block_until_ready((mm, ss))
+            _ = np.asarray(mm[0, 0])
+            elapsed = time.time() - t0
+            results[f"n={n}/{lowering}"] = {
+                "compile_s": round(compile_s, 1),
+                "inversions_per_s": round(args.batch * args.reps / elapsed, 1),
+                "batch": args.batch,
+                "reps": args.reps,
+            }
+            print(f"n={n}/{lowering}", results[f"n={n}/{lowering}"], flush=True)
+    write_result("lowering", results)
+
+
 def cmd_scaling(args):
     """Data-parallel scaling efficiency across mesh sizes.
 
@@ -166,6 +218,12 @@ def main():
     sc = sub.add_parser("scaling")
     sc.add_argument("--batch", type=int, default=65536)
     sc.add_argument("--reps", type=int, default=3)
+    lo = sub.add_parser("lowering")
+    lo.add_argument("--sizes", default="4,5,6,8,10")
+    lo.add_argument("--lowerings", default="scan,unroll")
+    lo.add_argument("--preset", default="high")
+    lo.add_argument("--batch", type=int, default=65536)
+    lo.add_argument("--reps", type=int, default=5)
     args = ap.parse_args()
     if args.host_devices:
         os.environ["XLA_FLAGS"] = (
@@ -176,9 +234,12 @@ def main():
         import jax
 
         jax.config.update("jax_platforms", args.platform)
-    {"precision": cmd_precision, "throughput": cmd_throughput, "scaling": cmd_scaling}[
-        args.cmd
-    ](args)
+    {
+        "precision": cmd_precision,
+        "throughput": cmd_throughput,
+        "scaling": cmd_scaling,
+        "lowering": cmd_lowering,
+    }[args.cmd](args)
 
 
 if __name__ == "__main__":

@@ -31,6 +31,12 @@ class QFloatParams:
                      limb-backend op grouping; results are identical.
       backend:       "packed" (int64 fast path), "limb" (digit arrays), or
                      "auto" (packed whenever the encoding fits in int64).
+      lowering:      circuit lowering style for the packed-I/O path:
+                     "unroll" traces every QFloat op into the graph (fastest
+                     execution at small n), "scan" lowers the LU recurrence
+                     as nested ``lax.scan``s (graph size — and XLA compile
+                     time — independent of n; models/qfloat_lu_scan.py),
+                     "auto" picks by n.  Results are bit-identical.
     """
 
     n: int = 2
@@ -40,6 +46,7 @@ class QFloatParams:
     true_division: bool = False
     tensorize: bool = False
     backend: str = "auto"
+    lowering: str = "auto"
 
     def __post_init__(self):
         if self.qfloat_base < 2:
@@ -48,6 +55,8 @@ class QFloatParams:
             raise ValueError("qfloat_ints must be in [0, qfloat_len]")
         if self.backend not in ("auto", "packed", "limb"):
             raise ValueError("backend must be auto|packed|limb")
+        if self.lowering not in ("auto", "scan", "unroll"):
+            raise ValueError("lowering must be auto|scan|unroll")
 
     @property
     def frac(self) -> int:

@@ -68,6 +68,15 @@ def qfloat_matrix_inverse(
     )
 
 
+SCAN_LOWERING_MIN_N = 8
+
+
+def _resolve_lowering(lowering, n):
+    if lowering in (None, "auto"):
+        return "scan" if n >= SCAN_LOWERING_MIN_N else "unroll"
+    return lowering
+
+
 def qfloat_matrix_inverse_packed_io(
     mags,
     signs,
@@ -78,6 +87,7 @@ def qfloat_matrix_inverse_packed_io(
     true_division,
     tensorize=False,
     vectorize_rows=None,
+    lowering=None,
 ):
     """Full inverse with packed I/O: (..., n*n) int64 magnitudes + signs in,
     the same out.
@@ -90,7 +100,16 @@ def qfloat_matrix_inverse_packed_io(
     collapsed into a tensor axis (models/qfloat_lu_vec.py) — bit-identical
     results, n times fewer traced ops.  None = auto: on for n >= 6 (compile
     relief), off below (measured ~11% faster unvectorized at n=4 on v5e).
+    ``lowering`` selects "unroll" (trace every op) vs "scan" (fixed-size
+    lax.scan program, models/qfloat_lu_scan.py) — bit-identical results;
+    None/"auto" picks scan for n >= 8 where unrolled XLA compiles blow up.
     """
+    if n >= 3 and _resolve_lowering(lowering, n) == "scan":
+        from .qfloat_lu_scan import qfloat_matrix_inverse_scan
+
+        return qfloat_matrix_inverse_scan(
+            mags, signs, n, qfloat_len, qfloat_ints, qfloat_base, true_division
+        )
     if vectorize_rows is None:
         vectorize_rows = n >= 6
     assert n * n == mags.shape[-1]
@@ -132,6 +151,7 @@ def qfloat_matrix_inverse_with_overflow(
     qfloat_base,
     true_division,
     tensorize=False,
+    lowering=None,
 ):
     """Packed-I/O inverse that also reports a per-matrix overflow flag.
 
@@ -142,12 +162,19 @@ def qfloat_matrix_inverse_with_overflow(
     or retry saturated results instead of silently consuming them.
     Returns ``(out_mags, out_signs, overflowed)``.
     """
+    if n >= 3 and _resolve_lowering(lowering, n) == "scan":
+        from .qfloat_lu_scan import qfloat_matrix_inverse_scan
+
+        return qfloat_matrix_inverse_scan(
+            mags, signs, n, qfloat_len, qfloat_ints, qfloat_base,
+            true_division, track=True,
+        )
     from ..ops.packed import track_overflow
 
     with track_overflow() as tracker:
         out_mags, out_signs = qfloat_matrix_inverse_packed_io(
             mags, signs, n, qfloat_len, qfloat_ints, qfloat_base,
-            true_division, tensorize,
+            true_division, tensorize, lowering="unroll",
         )
         flag = tracker.combined(mags.shape[:-1])
     return out_mags, out_signs, flag

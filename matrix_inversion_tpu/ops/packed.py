@@ -493,39 +493,7 @@ class PackedQFloat(QFloatBase):
         remainder/quotient in VMEM for the whole digit loop; results are
         bit-identical to the XLA ``fori_loop`` path below.
         """
-        p = self._base
-        k = self._bits
-        divisor = self._mag
-
-        if _pallas_division_enabled():
-            shape = jnp.broadcast_shapes(jnp.shape(dividend), jnp.shape(divisor))
-            size = 1
-            for s in shape:
-                size *= s
-            if size >= _PALLAS_MIN_BATCH:
-                from . import pallas_kernels
-
-                return pallas_kernels.batched_long_division(
-                    dividend, divisor, n_digits, k
-                )
-
-        def body(i, state):
-            r, q = state
-            digit = (dividend >> (k * (n_digits - 1 - i))) & (p - 1)
-            r = (r << k) | digit
-            qdigit = jnp.zeros_like(r)
-            for _ in range(p - 1):
-                ge = (r >= divisor).astype(MAG_DTYPE)
-                r = r - divisor * ge
-                qdigit = qdigit + ge
-            q = (q << k) | qdigit
-            return (r, q)
-
-        # derive the zero carries from the operands so their sharding/varying
-        # axes match the loop outputs under shard_map
-        zero = dividend * 0 + divisor * 0
-        _, q = lax.fori_loop(0, n_digits, body, (zero, zero))
-        return q
+        return packed_long_division(dividend, self._mag, n_digits, self._bits)
 
     def __itruediv__(self, other):
         if isinstance(other, Zero):
@@ -630,6 +598,48 @@ class PackedQFloat(QFloatBase):
 import functools
 
 
+def packed_long_division(dividend, divisor, n_digits, bits):
+    """Restoring long division on int64 magnitudes: q = dividend // divisor.
+
+    Digit-exact with reference base_p_arrays.py:173-203 including
+    zero-divisor saturation (every quotient digit -> base-1 when the
+    divisor is 0, because the remainder never decreases).  Free-function
+    form so scanned circuit lowerings (models/qfloat_lu_scan.py) can call
+    it on raw magnitude tensors inside ``lax.scan`` bodies.
+    """
+    p = 1 << bits
+
+    if _pallas_division_enabled():
+        shape = jnp.broadcast_shapes(jnp.shape(dividend), jnp.shape(divisor))
+        size = 1
+        for s in shape:
+            size *= s
+        if size >= _PALLAS_MIN_BATCH:
+            from . import pallas_kernels
+
+            return pallas_kernels.batched_long_division(
+                dividend, divisor, n_digits, bits
+            )
+
+    def body(i, state):
+        r, q = state
+        digit = (dividend >> (bits * (n_digits - 1 - i))) & (p - 1)
+        r = (r << bits) | digit
+        qdigit = jnp.zeros_like(r)
+        for _ in range(p - 1):
+            ge = (r >= divisor).astype(MAG_DTYPE)
+            r = r - divisor * ge
+            qdigit = qdigit + ge
+        q = (q << bits) | qdigit
+        return (r, q)
+
+    # derive the zero carries from the operands so their sharding/varying
+    # axes match the loop outputs under shard_map
+    zero = jnp.asarray(dividend, MAG_DTYPE) * 0 + jnp.asarray(divisor, MAG_DTYPE) * 0
+    _, q = lax.fori_loop(0, n_digits, body, (zero, zero))
+    return q
+
+
 @functools.lru_cache(maxsize=None)
 def _mul_window_consts(a_ints, a_len, b_ints, b_len, newlength, newints, bits):
     """Per-partial-product shift/mask constants for the scanned multiply."""
@@ -666,8 +676,13 @@ def set_mul_scan(enabled):
 
 
 def _mul_window_packed(a_mag, a_ints, a_len, b_mag, b_ints, b_len,
-                       newlength, newints, bits):
-    """Packed form of the cropped partial-product sum (see module docstring)."""
+                       newlength, newints, bits, with_ovf=False):
+    """Packed form of the cropped partial-product sum (see module docstring).
+
+    ``with_ovf=True`` returns ``(mag, overflow_flag)`` instead of recording
+    into the ambient tracker — for callers inside ``lax.scan`` bodies where
+    flags must travel through the scan carry (models/qfloat_lu_scan.py).
+    """
     base_mask = jnp.uint64((1 << bits) - 1)
     out_mask = jnp.uint64((1 << (bits * newlength)) - 1)
     au = a_mag.astype(jnp.uint64)
@@ -695,6 +710,8 @@ def _mul_window_packed(a_mag, a_ints, a_len, b_mag, b_ints, b_len,
             window = (bu >> jnp.uint64(b_shs[i])) & jnp.uint64(b_masks[i])
             acc = acc + ((a_i * window) << jnp.uint64(o_shs[i]))
 
+    if with_ovf:
+        return (acc & out_mask).astype(MAG_DTYPE), (acc & ~out_mask) != jnp.uint64(0)
     if _OVERFLOW_TRACKER is not None:
         # carry out of the output window = dropped overflow (best effort:
         # bits above 2**64 wrap and are undetectable)

@@ -52,6 +52,7 @@ def _circuit_fn(params: QFloatParams, backend: str, io: str):
             qfloat_base=p.qfloat_base,
             true_division=p.true_division,
             tensorize=p.tensorize,
+            lowering=p.lowering,
         )
     return functools.partial(
         qfloat_matrix_inverse,
