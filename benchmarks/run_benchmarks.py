@@ -39,7 +39,12 @@ def cmd_precision(args):
 
     sizes = [int(s) for s in args.sizes.split(",")]
     presets = args.presets.split(",")
+    # merge into prior results so partial sweeps extend the table
     table = {}
+    prior = os.path.join(RESULTS_DIR, "precision.json")
+    if os.path.exists(prior):
+        with open(prior) as fh:
+            table = json.load(fh)
     for preset_name in presets:
         preset = mi.PRESETS[preset_name]
         for n in sizes:

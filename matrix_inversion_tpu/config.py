@@ -35,8 +35,10 @@ class QFloatParams:
                      "unroll" traces every QFloat op into the graph (fastest
                      execution at small n), "scan" lowers the LU recurrence
                      as nested ``lax.scan``s (graph size — and XLA compile
-                     time — independent of n; models/qfloat_lu_scan.py),
-                     "auto" picks by n.  Results are bit-identical.
+                     time — independent of n), "vec" vectorizes each sweep
+                     with a static outer loop (O(n^2) graph, no wasted
+                     lanes; both in models/qfloat_lu_scan.py), "auto" picks
+                     by n.  Results are bit-identical.
     """
 
     n: int = 2
@@ -55,8 +57,8 @@ class QFloatParams:
             raise ValueError("qfloat_ints must be in [0, qfloat_len]")
         if self.backend not in ("auto", "packed", "limb"):
             raise ValueError("backend must be auto|packed|limb")
-        if self.lowering not in ("auto", "scan", "unroll"):
-            raise ValueError("lowering must be auto|scan|unroll")
+        if self.lowering not in ("auto", "scan", "vec", "unroll"):
+            raise ValueError("lowering must be auto|scan|vec|unroll")
 
     @property
     def frac(self) -> int:

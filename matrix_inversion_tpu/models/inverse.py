@@ -39,6 +39,7 @@ def qfloat_matrix_inverse(
     true_division,
     tensorize=False,
     backend="limb",
+    lowering=None,
 ):
     """Full inverse circuit body (reference qfloat_matrix_inversion.py:672-720).
 
@@ -46,6 +47,36 @@ def qfloat_matrix_inverse(
     Output: ``(..., n*n, len+1)`` digit arrays with the sign appended.
     """
     _check_shapes(qfloat_arrays, n, qfloat_len)
+    style = _resolve_lowering(lowering, n)
+    if backend == "packed" and n >= 3 and style in ("scan", "vec"):
+        # pack digits -> magnitudes, run the fixed-size scanned program,
+        # unpack back to the digit-array output layout (bit-identical to
+        # the unrolled object path; see models/qfloat_lu_scan.py)
+        import jax.numpy as jnp
+
+        from ..ops.packed import MAG_DTYPE, _digit_bits
+        from .qfloat_lu_scan import (
+            qfloat_matrix_inverse_scan,
+            qfloat_matrix_inverse_vec,
+        )
+
+        bits = _digit_bits(qfloat_base)
+        L = qfloat_len
+        place = jnp.asarray(
+            [1 << (bits * (L - 1 - j)) for j in range(L)], MAG_DTYPE
+        )
+        mags = jnp.sum(jnp.asarray(qfloat_arrays, MAG_DTYPE) * place, axis=-1)
+        fn = qfloat_matrix_inverse_vec if style == "vec" else qfloat_matrix_inverse_scan
+        out_mags, out_signs = fn(
+            mags, qfloat_signs, n, L, qfloat_ints, qfloat_base, true_division
+        )
+        shifts = jnp.asarray([bits * (L - 1 - j) for j in range(L)], MAG_DTYPE)
+        digits = (
+            (out_mags[..., None] >> shifts) & (qfloat_base - 1)
+        ).astype(jnp.int32)
+        return jnp.concatenate(
+            [digits, out_signs[..., None].astype(jnp.int32)], axis=-1
+        )
     qfloat_M = qfloat_arrays_to_qfloat_matrix(
         qfloat_arrays, qfloat_signs, qfloat_ints, qfloat_base, backend
     )
@@ -68,12 +99,26 @@ def qfloat_matrix_inverse(
     )
 
 
-SCAN_LOWERING_MIN_N = 8
+# Auto lowering policy, grounded in on-chip v5e measurements
+# (benchmarks/results/lowering.json, 65k batch, High preset):
+#   unroll: fastest execution through n=8 (2.24-2.5M inv/s at n=4,
+#           874k vs vec's 682k at n=8) but compile grows ~n^3 (149s at
+#           n=8, ~13 min at n=10);
+#   vec:    fastest at n=9-12 (378k inv/s at n=10, compile 156s, O(n^2)
+#           graph);
+#   scan:   compile nearly flat in n (39s at n=10, 15s CPU at n=16) at
+#           ~2x slower execution — the only practical choice for huge n.
+UNROLL_MAX_N = 8
+VEC_MAX_N = 12
 
 
 def _resolve_lowering(lowering, n):
     if lowering in (None, "auto"):
-        return "scan" if n >= SCAN_LOWERING_MIN_N else "unroll"
+        if n <= UNROLL_MAX_N:
+            return "unroll"
+        if n <= VEC_MAX_N:
+            return "vec"
+        return "scan"
     return lowering
 
 
@@ -104,10 +149,15 @@ def qfloat_matrix_inverse_packed_io(
     lax.scan program, models/qfloat_lu_scan.py) — bit-identical results;
     None/"auto" picks scan for n >= 8 where unrolled XLA compiles blow up.
     """
-    if n >= 3 and _resolve_lowering(lowering, n) == "scan":
-        from .qfloat_lu_scan import qfloat_matrix_inverse_scan
+    style = _resolve_lowering(lowering, n)
+    if n >= 3 and style in ("scan", "vec"):
+        from .qfloat_lu_scan import (
+            qfloat_matrix_inverse_scan,
+            qfloat_matrix_inverse_vec,
+        )
 
-        return qfloat_matrix_inverse_scan(
+        fn = qfloat_matrix_inverse_vec if style == "vec" else qfloat_matrix_inverse_scan
+        return fn(
             mags, signs, n, qfloat_len, qfloat_ints, qfloat_base, true_division
         )
     if vectorize_rows is None:
@@ -162,10 +212,15 @@ def qfloat_matrix_inverse_with_overflow(
     or retry saturated results instead of silently consuming them.
     Returns ``(out_mags, out_signs, overflowed)``.
     """
-    if n >= 3 and _resolve_lowering(lowering, n) == "scan":
-        from .qfloat_lu_scan import qfloat_matrix_inverse_scan
+    style = _resolve_lowering(lowering, n)
+    if n >= 3 and style in ("scan", "vec"):
+        from .qfloat_lu_scan import (
+            qfloat_matrix_inverse_scan,
+            qfloat_matrix_inverse_vec,
+        )
 
-        return qfloat_matrix_inverse_scan(
+        fn = qfloat_matrix_inverse_vec if style == "vec" else qfloat_matrix_inverse_scan
+        return fn(
             mags, signs, n, qfloat_len, qfloat_ints, qfloat_base,
             true_division, track=True,
         )

@@ -57,7 +57,8 @@ def _tidy_v(v, mask):
     return mag, sign, av > mask
 
 
-def _masked_dot(a_mags, a_signs, b_mags, b_signs, ks, active_of_k, fmt, mask, track):
+def _masked_dot(a_mags, a_signs, b_mags, b_signs, ks, active_of_k, fmt, mask,
+                track, unroll=False):
     """Masked replay of a reference dot-product chain.
 
     ``a_mags``/``b_mags``: (n, ...) stacked per-term operand magnitudes
@@ -67,6 +68,10 @@ def _masked_dot(a_mags, a_signs, b_mags, b_signs, ks, active_of_k, fmt, mask, tr
     dots, ``k > bound`` for the backward-substitution suffix dots).
     ``fmt`` = (a_ints, a_len, b_ints, b_len, newlength, newints, bits) of
     the ``from_mul`` every term goes through.
+
+    ``unroll=True`` emits the k-loop as straight-line ops instead of a
+    ``lax.scan`` — identical values, O(n) graph nodes per dot, two fewer
+    levels of while-loop overhead at run time.
 
     Returns (mag, sign, per-lane overflow) of the chain result.
     """
@@ -91,6 +96,14 @@ def _masked_dot(a_mags, a_signs, b_mags, b_signs, ks, active_of_k, fmt, mask, tr
         if track:
             ovf = ovf | (active & (wovf | tovf))
         return (mag, sign, ovf), None
+
+    if unroll:
+        carry = (acc_mag, acc_sign, ovf0)
+        for k in range(a_mags.shape[0]):
+            carry, _ = step(
+                carry, (a_mags[k], a_signs[k], b_mags[k], b_signs[k], ks[k])
+            )
+        return carry
 
     (mag, sign, ovf), _ = lax.scan(
         step, (acc_mag, acc_sign, ovf0), (a_mags, a_signs, b_mags, b_signs, ks)
@@ -120,7 +133,11 @@ def _truediv(num_mag, num_sign, den_mag, den_sign, qfloat_len, qfloat_ints,
 
 
 def qfloat_matrix_inverse_scan(mags, signs, n, qfloat_len, qfloat_ints,
-                               qfloat_base, true_division, track=False):
+                               qfloat_base, true_division, track=False,
+                               unroll_dots=False):
+    # unroll_dots=True emits the k-loops as straight-line ops; measured on
+    # v5e it is equal-or-slower than the pure scan (1.40M/1.40M at n=4,
+    # 381k vs 421k at n=8), so the default stays False.
     """Packed-I/O matrix inverse with scanned lowering.
 
     Same contract as :func:`..models.inverse.qfloat_matrix_inverse_packed_io`
@@ -185,7 +202,7 @@ def qfloat_matrix_inverse_scan(mags, signs, n, qfloat_len, qfloat_ints,
             jnp.moveaxis(U_mag, -2, 0), jnp.moveaxis(U_sign, -2, 0),
             jnp.moveaxis(L_row_t_mag, -1, 0)[..., None],
             jnp.moveaxis(L_row_t_sign, -1, 0)[..., None],
-            ks, lambda k: k < t, fmt_dot, mask, track,
+            ks, lambda k: k < t, fmt_dot, mask, track, unroll_dots,
         )
         va = pmr_mag * pmr_sign - dm * ds
         nm, ns, tovf = _tidy_v(va, mask)
@@ -217,7 +234,7 @@ def qfloat_matrix_inverse_scan(mags, signs, n, qfloat_len, qfloat_ints,
             jnp.moveaxis(U_col_t_mag, -1, 0)[..., None],
             jnp.moveaxis(U_col_t_sign, -1, 0)[..., None],
             jnp.moveaxis(L_mag, -1, 0), jnp.moveaxis(L_sign, -1, 0),
-            ks, lambda k: k < t, fmt_dot, mask, track,
+            ks, lambda k: k < t, fmt_dot, mask, track, unroll_dots,
         )
         vc = pmc_mag * pmc_sign - d2m * d2s
         tm, ts, tovf2 = _tidy_v(vc, mask)
@@ -278,7 +295,7 @@ def qfloat_matrix_inverse_scan(mags, signs, n, qfloat_len, qfloat_ints,
             jnp.moveaxis(L_row_j_mag, -1, 0)[..., None],
             jnp.moveaxis(L_row_j_sign, -1, 0)[..., None],
             jnp.moveaxis(Y_mag, -1, 0), jnp.moveaxis(Y_sign, -1, 0),
-            ks, lambda k: k < j, fmt_dot, mask, track,
+            ks, lambda k: k < j, fmt_dot, mask, track, unroll_dots,
         )
         v = p_col * unit - dm * ds
         nm, ns, tovf = _tidy_v(v, mask)
@@ -307,7 +324,7 @@ def qfloat_matrix_inverse_scan(mags, signs, n, qfloat_len, qfloat_ints,
             jnp.moveaxis(u_row_mag, -1, 0)[..., None],
             jnp.moveaxis(u_row_sign, -1, 0)[..., None],
             jnp.moveaxis(X_mag, -1, 0), jnp.moveaxis(X_sign, -1, 0),
-            ks, lambda k: k > j, fmt_dot, mask, track,
+            ks, lambda k: k > j, fmt_dot, mask, track, unroll_dots,
         )
         v = y_mag_col * y_sign_col - dm * ds
         tm, ts, tovf = _tidy_v(v, mask)
@@ -356,5 +373,227 @@ def qfloat_matrix_inverse_scan(mags, signs, n, qfloat_len, qfloat_ints,
     out_mag = jnp.swapaxes(X_mag, -1, -2).reshape(batch + (n * n,))
     out_sign = jnp.swapaxes(X_sign, -1, -2).reshape(batch + (n * n,))
     if track:
+        return out_mag, out_sign, ovf.astype(jnp.int32)
+    return out_mag, out_sign
+
+
+def _dot_static(terms, fmt, mask, track):
+    """Static-length dot-chain replay: ``terms`` is a list of
+    (a_mag, a_sign, b_mag, b_sign) per-term operands (pre-sliced, no
+    masking).  Same v-exact recurrence as :func:`_masked_dot` with
+    ``unroll=True`` but zero wasted lanes.  Returns (mag, sign, flags)."""
+    shape = jnp.broadcast_shapes(
+        *[jnp.broadcast_shapes(jnp.shape(am), jnp.shape(bm))
+          for am, _, bm, _ in terms]
+    )
+    m = jnp.zeros(shape, MAG_DTYPE)
+    s = jnp.ones(shape, MAG_DTYPE)
+    flags = []
+    for am, asg, bm, bsg in terms:
+        if track:
+            pm, wovf = _mul_window_packed(am, fmt[0], fmt[1], bm, fmt[2], fmt[3],
+                                          fmt[4], fmt[5], fmt[6], with_ovf=True)
+        else:
+            pm = _mul_window_packed(am, fmt[0], fmt[1], bm, fmt[2], fmt[3],
+                                    fmt[4], fmt[5], fmt[6])
+        v = m * s + pm * (asg * bsg)
+        m, s, tovf = _tidy_v(v, mask)
+        if track:
+            flags.append(wovf)
+            flags.append(tovf)
+    return m, s, flags
+
+
+def qfloat_matrix_inverse_vec(mags, signs, n, qfloat_len, qfloat_ints,
+                              qfloat_base, true_division, track=False):
+    """Packed-I/O matrix inverse, vectorized lowering with a static sweep.
+
+    Same row-of-U / column-of-L re-scheduling as
+    :func:`qfloat_matrix_inverse_scan` (and the same bit-exactness
+    argument), but the outer index is a Python loop: masks become static
+    slices, no lanes are wasted, and the graph is O(n^2) nodes — between
+    the O(1) scanned form (fastest compile) and the O(n^3) unrolled object
+    path (fastest execution at small n).
+    """
+    assert n >= 3, "n == 2 uses the closed form (models/qfloat_lu.py)"
+    L, I = int(qfloat_len), int(qfloat_ints)
+    bits = _digit_bits(qfloat_base)
+    if bits * (1 + 2 * L - I) > 62:
+        raise ValueError("encoding too wide for the packed backend")
+    mask = (1 << (bits * L)) - 1
+    unit = 1 << (bits * (L - I))
+
+    mags = jnp.asarray(mags, MAG_DTYPE)
+    signs = jnp.asarray(signs, MAG_DTYPE)
+    batch = mags.shape[:-1]
+    M_mag = mags.reshape(batch + (n, n))
+    M_sign = signs.reshape(batch + (n, n))
+
+    cells = [
+        [
+            PackedQFloat(M_mag[..., i, j], L, I, qfloat_base, M_sign[..., i, j])
+            for j in range(n)
+        ]
+        for i in range(n)
+    ]
+    P = qfloat_pivot_matrix(cells).astype(MAG_DTYPE)
+
+    v = M_mag * M_sign
+    pm_v = jnp.sum(P[..., :, :, None] * v[..., None, :, :], axis=-2)
+    PM_mag = jnp.abs(pm_v) & mask
+    PM_sign = jnp.where((pm_v < 0) & (PM_mag != 0), MAG_DTYPE(-1), MAG_DTYPE(1))
+    flags = [jnp.any(jnp.abs(pm_v) > mask, axis=(-1, -2))] if track else []
+
+    fmt_dot = (I, L, I, L, L, I, bits)
+    fmt_inv = (I, L, 0, L, L, I, bits)
+
+    U_mag = jnp.zeros(batch + (n, n), MAG_DTYPE)
+    U_sign = jnp.ones(batch + (n, n), MAG_DTYPE)
+    L_mag = jnp.zeros(batch + (n, n), MAG_DTYPE)
+    L_sign = jnp.ones(batch + (n, n), MAG_DTYPE)
+    inv_mag = [None] * n
+    inv_sign = [None] * n
+
+    for t in range(n):
+        # Phase A: U[t][j] for j >= t
+        if t == 0:
+            row_mag, row_sign = PM_mag[..., 0, :], PM_sign[..., 0, :]
+            U_mag = U_mag.at[..., 0, :].set(row_mag)
+            U_sign = U_sign.at[..., 0, :].set(row_sign)
+            u_tt_mag, u_tt_sign = row_mag[..., 0], row_sign[..., 0]
+        else:
+            terms = [
+                (U_mag[..., k, t:], U_sign[..., k, t:],
+                 L_mag[..., t, k][..., None], L_sign[..., t, k][..., None])
+                for k in range(t)
+            ]
+            dm, ds, dflags = _dot_static(terms, fmt_dot, mask, track)
+            va = PM_mag[..., t, t:] * PM_sign[..., t, t:] - dm * ds
+            row_mag, row_sign, tovf = _tidy_v(va, mask)
+            U_mag = U_mag.at[..., t, t:].set(row_mag)
+            U_sign = U_sign.at[..., t, t:].set(row_sign)
+            if track:
+                flags += [jnp.any(f, axis=-1) for f in dflags]
+                flags.append(jnp.any(tovf, axis=-1))
+            u_tt_mag, u_tt_sign = row_mag[..., 0], row_sign[..., 0]
+
+        # Phase B: reciprocal of the diagonal
+        if not true_division:
+            iv_mag, iv_sign, iovf = _invert(u_tt_mag, u_tt_sign, L, I, bits, mask)
+            inv_mag[t], inv_sign[t] = iv_mag, iv_sign
+            if track:
+                flags.append(iovf)
+
+        # Phase C: L[i][t] for i > t
+        if t == n - 1:
+            continue
+        if t == 0:
+            temp_mag = PM_mag[..., 1:, 0]
+            temp_sign = PM_sign[..., 1:, 0]
+        else:
+            terms = [
+                (U_mag[..., k, t][..., None], U_sign[..., k, t][..., None],
+                 L_mag[..., t + 1:, k], L_sign[..., t + 1:, k])
+                for k in range(t)
+            ]
+            d2m, d2s, dflags = _dot_static(terms, fmt_dot, mask, track)
+            vc = PM_mag[..., t + 1:, t] * PM_sign[..., t + 1:, t] - d2m * d2s
+            temp_mag, temp_sign, tovf2 = _tidy_v(vc, mask)
+            if track:
+                flags += [jnp.any(f, axis=-1) for f in dflags]
+                flags.append(jnp.any(tovf2, axis=-1))
+        if true_division:
+            l_mag, l_sign, lovf = _truediv(
+                temp_mag, temp_sign, u_tt_mag[..., None], u_tt_sign[..., None],
+                L, I, bits, mask,
+            )
+            if track:
+                flags.append(jnp.any(lovf, axis=-1))
+        else:
+            if track:
+                l_mag, lovf = _mul_window_packed(
+                    temp_mag, I, L, iv_mag[..., None], 0, L, L, I, bits,
+                    with_ovf=True,
+                )
+                flags.append(jnp.any(lovf, axis=-1))
+            else:
+                l_mag = _mul_window_packed(
+                    temp_mag, I, L, iv_mag[..., None], 0, L, L, I, bits
+                )
+            l_sign = temp_sign * iv_sign[..., None]
+        L_mag = L_mag.at[..., t + 1:, t].set(l_mag)
+        L_sign = L_sign.at[..., t + 1:, t].set(l_sign)
+
+    # forward substitution L Y = P^T, rows vectorized
+    PT = jnp.moveaxis(P, -1, -2)
+    Y_mag = jnp.zeros(batch + (n, n), MAG_DTYPE)
+    Y_sign = jnp.ones(batch + (n, n), MAG_DTYPE)
+    for j in range(n):
+        p_col = PT[..., :, j]
+        if j == 0:
+            ym, ysgn = p_col * unit, p_col
+        else:
+            terms = [
+                (L_mag[..., j, k][..., None], L_sign[..., j, k][..., None],
+                 Y_mag[..., :, k], Y_sign[..., :, k])
+                for k in range(j)
+            ]
+            dm, ds, dflags = _dot_static(terms, fmt_dot, mask, track)
+            vy = p_col * unit - dm * ds
+            ym, ysgn, tovf = _tidy_v(vy, mask)
+            if track:
+                flags += [jnp.any(f, axis=-1) for f in dflags]
+                flags.append(jnp.any(tovf, axis=-1))
+        Y_mag = Y_mag.at[..., :, j].set(ym)
+        Y_sign = Y_sign.at[..., :, j].set(ysgn)
+
+    # backward substitution U X = Y, rows vectorized
+    X_mag = jnp.zeros(batch + (n, n), MAG_DTYPE)
+    X_sign = jnp.ones(batch + (n, n), MAG_DTYPE)
+    for j in range(n - 1, -1, -1):
+        if j == n - 1:
+            temp_mag = Y_mag[..., :, j]
+            temp_sign = Y_sign[..., :, j]
+        else:
+            terms = [
+                (U_mag[..., j, k][..., None], U_sign[..., j, k][..., None],
+                 X_mag[..., :, k], X_sign[..., :, k])
+                for k in range(j + 1, n)
+            ]
+            dm, ds, dflags = _dot_static(terms, fmt_dot, mask, track)
+            vx = Y_mag[..., :, j] * Y_sign[..., :, j] - dm * ds
+            temp_mag, temp_sign, tovf = _tidy_v(vx, mask)
+            if track:
+                flags += [jnp.any(f, axis=-1) for f in dflags]
+                flags.append(jnp.any(tovf, axis=-1))
+        if true_division:
+            xm, xsgn, xovf = _truediv(
+                temp_mag, temp_sign,
+                U_mag[..., j, j][..., None], U_sign[..., j, j][..., None],
+                L, I, bits, mask,
+            )
+            if track:
+                flags.append(jnp.any(xovf, axis=-1))
+        else:
+            if track:
+                xm, xovf = _mul_window_packed(
+                    temp_mag, I, L, inv_mag[j][..., None], 0, L, L, I, bits,
+                    with_ovf=True,
+                )
+                flags.append(jnp.any(xovf, axis=-1))
+            else:
+                xm = _mul_window_packed(
+                    temp_mag, I, L, inv_mag[j][..., None], 0, L, L, I, bits
+                )
+            xsgn = temp_sign * inv_sign[j][..., None]
+        X_mag = X_mag.at[..., :, j].set(xm)
+        X_sign = X_sign.at[..., :, j].set(xsgn)
+
+    out_mag = jnp.swapaxes(X_mag, -1, -2).reshape(batch + (n * n,))
+    out_sign = jnp.swapaxes(X_sign, -1, -2).reshape(batch + (n * n,))
+    if track:
+        ovf = jnp.zeros(batch, jnp.bool_)
+        for f in flags:
+            ovf = ovf | f
         return out_mag, out_sign, ovf.astype(jnp.int32)
     return out_mag, out_sign

@@ -63,6 +63,7 @@ def _circuit_fn(params: QFloatParams, backend: str, io: str):
         true_division=p.true_division,
         tensorize=p.tensorize,
         backend=backend,
+        lowering=p.lowering,
     )
 
 

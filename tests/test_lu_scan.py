@@ -14,11 +14,16 @@ from matrix_inversion_tpu.models.inverse import (
     qfloat_matrix_inverse_packed_io,
     qfloat_matrix_inverse_with_overflow,
 )
-from matrix_inversion_tpu.models.qfloat_lu_scan import qfloat_matrix_inverse_scan
+from matrix_inversion_tpu.models.qfloat_lu_scan import (
+    qfloat_matrix_inverse_scan,
+    qfloat_matrix_inverse_vec,
+)
 from matrix_inversion_tpu.models.marshal import (
     float_matrix_to_mags_and_signs,
     mags_and_signs_to_float_matrix,
 )
+
+LOWERINGS = {"scan": qfloat_matrix_inverse_scan, "vec": qfloat_matrix_inverse_vec}
 
 CASES = [
     # (n, len, ints, true_division, scale)
@@ -41,23 +46,25 @@ def _quantized(rng, B, n, L, I, scale):
     return M, jnp.asarray(mags), jnp.asarray(signs)
 
 
+@pytest.mark.parametrize("style", sorted(LOWERINGS))
 @pytest.mark.parametrize("n,L,I,td,scale", CASES)
-def test_scan_bit_exact_vs_unrolled(rng, n, L, I, td, scale):
+def test_scan_bit_exact_vs_unrolled(rng, n, L, I, td, scale, style):
+    fn = LOWERINGS[style]
     _, mags, signs = _quantized(rng, 24, n, L, I, scale)
     um, us = jax.jit(
         lambda m, s: qfloat_matrix_inverse_packed_io(
             m, s, n, L, I, 2, td, lowering="unroll"
         )
     )(mags, signs)
-    sm, ss = jax.jit(
-        lambda m, s: qfloat_matrix_inverse_scan(m, s, n, L, I, 2, td)
-    )(mags, signs)
+    sm, ss = jax.jit(lambda m, s: fn(m, s, n, L, I, 2, td))(mags, signs)
     np.testing.assert_array_equal(np.asarray(um), np.asarray(sm))
     np.testing.assert_array_equal(np.asarray(us), np.asarray(ss))
 
 
+@pytest.mark.parametrize("style", sorted(LOWERINGS))
 @pytest.mark.parametrize("n,L,I,td,scale", CASES)
-def test_scan_overflow_flags_match(rng, n, L, I, td, scale):
+def test_scan_overflow_flags_match(rng, n, L, I, td, scale, style):
+    fn = LOWERINGS[style]
     _, mags, signs = _quantized(rng, 24, n, L, I, scale)
     um, us, uf = jax.jit(
         lambda m, s: qfloat_matrix_inverse_with_overflow(
@@ -65,7 +72,7 @@ def test_scan_overflow_flags_match(rng, n, L, I, td, scale):
         )
     )(mags, signs)
     sm, ss, sf = jax.jit(
-        lambda m, s: qfloat_matrix_inverse_scan(m, s, n, L, I, 2, td, track=True)
+        lambda m, s: fn(m, s, n, L, I, 2, td, track=True)
     )(mags, signs)
     np.testing.assert_array_equal(np.asarray(um), np.asarray(sm))
     np.testing.assert_array_equal(np.asarray(us), np.asarray(ss))
@@ -87,18 +94,50 @@ def test_scan_large_n_compiles_and_inverts(rng):
 
 
 def test_auto_lowering_routes_large_n(rng):
-    # packed_io with default lowering uses the scanned path at n >= 8:
-    # results must match an explicit scan call exactly
-    n, L, I = 8, 31, 16
+    # packed_io with default lowering routes n=9..12 to the vec path and
+    # n>12 to the scanned path; results must match the explicit calls
+    from matrix_inversion_tpu.models.inverse import _resolve_lowering
+
+    assert _resolve_lowering(None, 4) == "unroll"
+    assert _resolve_lowering("auto", 10) == "vec"
+    assert _resolve_lowering("auto", 14) == "scan"
+    assert _resolve_lowering("unroll", 14) == "unroll"
+
+    n, L, I = 9, 31, 16
     _, mags, signs = _quantized(rng, 8, n, L, I, 10.0)
     am, asg = jax.jit(
         lambda m, s: qfloat_matrix_inverse_packed_io(m, s, n, L, I, 2, False)
     )(mags, signs)
     sm, ss = jax.jit(
-        lambda m, s: qfloat_matrix_inverse_scan(m, s, n, L, I, 2, False)
+        lambda m, s: qfloat_matrix_inverse_vec(m, s, n, L, I, 2, False)
     )(mags, signs)
     np.testing.assert_array_equal(np.asarray(am), np.asarray(sm))
     np.testing.assert_array_equal(np.asarray(asg), np.asarray(ss))
+
+
+def test_scan_digits_io_parity(rng):
+    # the digits-I/O circuit body also routes through the scanned lowering
+    # (packs digits -> magnitudes -> scan -> unpack) and must be
+    # bit-identical to the unrolled object path
+    from matrix_inversion_tpu.models.inverse import qfloat_matrix_inverse
+    from matrix_inversion_tpu.models.marshal import float_matrix_to_qfloat_arrays
+
+    n, L, I, td = 4, 31, 16, True
+    B = 12
+    M = rng.randn(B, n, n) * 50
+    M[rng.rand(B, n, n) < 0.1] = 0.0
+    d, s = map(jnp.asarray, float_matrix_to_qfloat_arrays(M, L, I, 2))
+    a = jax.jit(
+        lambda d, s: qfloat_matrix_inverse(
+            d, s, n, L, I, 2, td, backend="packed", lowering="unroll"
+        )
+    )(d, s)
+    b = jax.jit(
+        lambda d, s: qfloat_matrix_inverse(
+            d, s, n, L, I, 2, td, backend="packed", lowering="scan"
+        )
+    )(d, s)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
 def test_scan_via_batched_api(rng):
