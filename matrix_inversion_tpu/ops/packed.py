@@ -628,7 +628,9 @@ def packed_long_division(dividend, divisor, n_digits, bits):
         qdigit = jnp.zeros_like(r)
         for _ in range(p - 1):
             ge = (r >= divisor).astype(MAG_DTYPE)
-            r = r - divisor * ge
+            # divisor & (0 - ge) == divisor * ge for ge in {0, 1}: one AND
+            # instead of an emulated 64-bit multiply
+            r = r - (divisor & (0 - ge))
             qdigit = qdigit + ge
         q = (q << bits) | qdigit
         return (r, q)
@@ -689,6 +691,16 @@ def _mul_window_packed(a_mag, a_ints, a_len, b_mag, b_ints, b_len,
     bu = b_mag.astype(jnp.uint64)
     consts = _mul_window_consts(a_ints, a_len, b_ints, b_len, newlength, newints, bits)
 
+    # For base 2 the digit a_i is 0/1, so the partial product is a mask:
+    # (window << o_sh) & (0 - a_i) replaces a 64-bit multiply (which the
+    # TPU VPU emulates with several 32-bit ops) with one AND.
+    if bits == 1:
+        mac = lambda acc, a_i, window, o_sh: acc + (
+            (window << o_sh) & (jnp.uint64(0) - a_i)
+        )
+    else:
+        mac = lambda acc, a_i, window, o_sh: acc + ((a_i * window) << o_sh)
+
     if _MUL_SCAN is None or _MUL_SCAN:
         cs = tuple(jnp.asarray(c) for c in consts)
 
@@ -696,7 +708,7 @@ def _mul_window_packed(a_mag, a_ints, a_len, b_mag, b_ints, b_len,
             a_sh, b_sh, b_mask, o_sh = c
             a_i = (au >> a_sh) & base_mask
             window = (bu >> b_sh) & b_mask
-            return acc + ((a_i * window) << o_sh), None
+            return mac(acc, a_i, window, o_sh), None
 
         # zero carry derived from the operands (keeps shard_map varying axes)
         acc, _ = lax.scan(step, au * jnp.uint64(0) + bu * jnp.uint64(0), cs)
@@ -708,7 +720,7 @@ def _mul_window_packed(a_mag, a_ints, a_len, b_mag, b_ints, b_len,
                 continue
             a_i = (au >> jnp.uint64(a_shs[i])) & base_mask
             window = (bu >> jnp.uint64(b_shs[i])) & jnp.uint64(b_masks[i])
-            acc = acc + ((a_i * window) << jnp.uint64(o_shs[i]))
+            acc = mac(acc, a_i, window, jnp.uint64(o_shs[i]))
 
     if with_ovf:
         return (acc & out_mask).astype(MAG_DTYPE), (acc & ~out_mask) != jnp.uint64(0)
