@@ -55,6 +55,13 @@ MAG_DTYPE = jnp.int64
 _PALLAS_DIVISION = None
 _PALLAS_MIN_BATCH = 4096
 
+# Pallas windowed-multiply routing (base 2 only): None = auto.  Auto is OFF:
+# measured on v5e (1M batch, n=4 High) the per-multiply kernel is ~24%
+# slower end-to-end than the XLA scan (12.0M vs 15.8M inversions/s) — the
+# launch/pad overhead and lost elementwise fusion outweigh VMEM residency.
+# Kept as an opt-in building block (set_pallas_mul) for fused-kernel work.
+_PALLAS_MUL = None
+
 # Optional overflow tracking — implements the reference's open TODO
 # (reference qfloat.py:255-257, 623-624): overflow past the top digit is
 # the reference's main big-error source and is silently dropped there.
@@ -108,6 +115,18 @@ def set_pallas_division(enabled):
     """Force the Pallas division kernel on/off (None = auto: TPU only)."""
     global _PALLAS_DIVISION
     _PALLAS_DIVISION = enabled
+
+
+def set_pallas_mul(enabled):
+    """Force the Pallas windowed-multiply kernel on/off (None = auto)."""
+    global _PALLAS_MUL
+    _PALLAS_MUL = enabled
+
+
+def _pallas_mul_enabled() -> bool:
+    if _PALLAS_MUL is not None:
+        return bool(_PALLAS_MUL)
+    return False
 
 
 def _pallas_division_enabled() -> bool:
@@ -671,10 +690,22 @@ def _mul_window_consts(a_ints, a_len, b_ints, b_len, newlength, newints, bits):
 # None = auto: scan.
 _MUL_SCAN = None
 
+# Partial products accumulated per scan step (the loop body stays one
+# fused elementwise kernel; fewer iterations amortize the loop carry).
+# Swept on v5e (1M batch, n=4 High): G=1 15.81M, G=2 17.44M, G=4 17.18M,
+# G=8 16.55M, G=40 (full unroll) 13.47M inversions/s -> default 2.
+_MUL_GROUP = 2
+
 
 def set_mul_scan(enabled):
     global _MUL_SCAN
     _MUL_SCAN = enabled
+
+
+def set_mul_group(g):
+    """Partial products per multiply-scan step (1 = one per step)."""
+    global _MUL_GROUP
+    _MUL_GROUP = int(g)
 
 
 def _mul_window_packed(a_mag, a_ints, a_len, b_mag, b_ints, b_len,
@@ -687,9 +718,30 @@ def _mul_window_packed(a_mag, a_ints, a_len, b_mag, b_ints, b_len,
     """
     base_mask = jnp.uint64((1 << bits) - 1)
     out_mask = jnp.uint64((1 << (bits * newlength)) - 1)
+    consts = _mul_window_consts(a_ints, a_len, b_ints, b_len, newlength, newints, bits)
+
+    # Pallas fast path (base 2, no overflow tracking): the whole partial-
+    # product chain runs VMEM-resident instead of carrying an XLA loop
+    # state through HBM each of the ~a_len steps.
+    if (
+        bits == 1
+        and not with_ovf
+        and _OVERFLOW_TRACKER is None
+        and _pallas_mul_enabled()
+    ):
+        shape = jnp.broadcast_shapes(jnp.shape(a_mag), jnp.shape(b_mag))
+        size = 1
+        for s in shape:
+            size *= s
+        if size >= _PALLAS_MIN_BATCH:
+            from . import pallas_kernels
+
+            return pallas_kernels.batched_mul_window(
+                a_mag, b_mag, consts, newlength
+            )
+
     au = a_mag.astype(jnp.uint64)
     bu = b_mag.astype(jnp.uint64)
-    consts = _mul_window_consts(a_ints, a_len, b_ints, b_len, newlength, newints, bits)
 
     # For base 2 the digit a_i is 0/1, so the partial product is a mask:
     # (window << o_sh) & (0 - a_i) replaces a 64-bit multiply (which the
@@ -702,13 +754,31 @@ def _mul_window_packed(a_mag, a_ints, a_len, b_mag, b_ints, b_len,
         mac = lambda acc, a_i, window, o_sh: acc + ((a_i * window) << o_sh)
 
     if _MUL_SCAN is None or _MUL_SCAN:
-        cs = tuple(jnp.asarray(c) for c in consts)
+        G = max(1, _MUL_GROUP)
+        arrs = [np.asarray(c) for c in consts]
+        if G > 1 and len(arrs[0]) % G:
+            # pad with zero-mask (no-op) product slots
+            pad = G - len(arrs[0]) % G
+            arrs = [np.concatenate([c, np.zeros(pad, c.dtype)]) for c in arrs]
+        if G > 1:
+            cs = tuple(jnp.asarray(c).reshape(-1, G) for c in arrs)
 
-        def step(acc, c):
-            a_sh, b_sh, b_mask, o_sh = c
-            a_i = (au >> a_sh) & base_mask
-            window = (bu >> b_sh) & b_mask
-            return mac(acc, a_i, window, o_sh), None
+            def step(acc, c):
+                a_shs, b_shs, b_masks, o_shs = c
+                for g in range(G):
+                    a_i = (au >> a_shs[g]) & base_mask
+                    window = (bu >> b_shs[g]) & b_masks[g]
+                    acc = mac(acc, a_i, window, o_shs[g])
+                return acc, None
+
+        else:
+            cs = tuple(jnp.asarray(c) for c in arrs)
+
+            def step(acc, c):
+                a_sh, b_sh, b_mask, o_sh = c
+                a_i = (au >> a_sh) & base_mask
+                window = (bu >> b_sh) & b_mask
+                return mac(acc, a_i, window, o_sh), None
 
         # zero carry derived from the operands (keeps shard_map varying axes)
         acc, _ = lax.scan(step, au * jnp.uint64(0) + bu * jnp.uint64(0), cs)

@@ -98,8 +98,68 @@ def _division_call(vhi, vlo, dhi, dlo, n_digits, bits, interpret):
     )(vhi, vlo, dhi, dlo)
 
 
+def _tiled_pairs(call, inputs, pad_values, tile_rows, interpret):
+    """Run a grid-free (hi, lo)-pair kernel over arbitrarily large batches.
+
+    ``inputs``: int64 arrays (broadcast to a common shape); ``pad_values``:
+    per-input scalar fill for the alignment padding.  ``call(pairs,
+    interpret)`` receives a flat tuple (hi0, lo0, hi1, lo1, ...) of
+    (rows, 128) uint32 tiles and returns an output (hi, lo) pair.  Chunks
+    are looped with ``lax.map`` so compile time is independent of batch
+    size.  Returns the int64 output reshaped to the broadcast shape.
+    """
+    shape = jnp.broadcast_shapes(*[jnp.shape(x) for x in inputs])
+    flats = [
+        jnp.broadcast_to(jnp.asarray(x, jnp.int64), shape).reshape(-1)
+        for x in inputs
+    ]
+    n = int(np.prod(shape)) if shape else 1
+
+    min_chunk = SUBLANES * LANES
+    padded = ((n + min_chunk - 1) // min_chunk) * min_chunk
+    rows = padded // LANES
+    if rows % tile_rows:
+        tile_rows = min(tile_rows, rows)
+        rows = ((rows + tile_rows - 1) // tile_rows) * tile_rows
+        padded = rows * LANES
+    tile_rows = min(tile_rows, rows)
+    if padded != n:
+        flats = [
+            jnp.concatenate([f, jnp.full((padded - n,), pv, jnp.int64)])
+            for f, pv in zip(flats, pad_values)
+        ]
+
+    pairs = []
+    for f in flats:
+        hi, lo = _split64(f.reshape(rows, LANES))
+        pairs += [hi, lo]
+
+    n_chunks = rows // tile_rows
+    if n_chunks == 1:
+        qhi, qlo = call(tuple(pairs), interpret)
+    else:
+        chunked = lambda a: a.reshape(n_chunks, tile_rows, LANES)
+        qhi, qlo = lax.map(
+            lambda args: call(args, interpret),
+            tuple(chunked(p) for p in pairs),
+        )
+        qhi = qhi.reshape(rows, LANES)
+        qlo = qlo.reshape(rows, LANES)
+    q = _join64(qhi, qlo).reshape(-1)[:n].astype(jnp.int64)
+    return q.reshape(shape)
+
+
+# Default rows per division-kernel tile; tunable for on-chip sweeps.
+_DIVISION_TILE_ROWS = 512
+
+
+def set_division_tile_rows(rows):
+    global _DIVISION_TILE_ROWS
+    _DIVISION_TILE_ROWS = int(rows)
+
+
 def batched_long_division(dividend, divisor, n_digits: int, bits: int,
-                          tile_rows: int = 512, interpret: bool = False):
+                          tile_rows: int = None, interpret: bool = False):
     """q = dividend // divisor digit-by-digit, uint32-pair Pallas kernel.
 
     ``dividend``/``divisor``: int64 arrays broadcastable to a common batch
@@ -108,50 +168,111 @@ def batched_long_division(dividend, divisor, n_digits: int, bits: int,
     Large batches are split into <= tile_rows x 128 chunks, each a VMEM-
     resident kernel launch.
     """
-    shape = jnp.broadcast_shapes(jnp.shape(dividend), jnp.shape(divisor))
-    dividend = jnp.broadcast_to(jnp.asarray(dividend, jnp.int64), shape)
-    divisor = jnp.broadcast_to(jnp.asarray(divisor, jnp.int64), shape)
-    n = int(np.prod(shape)) if shape else 1
+    return _tiled_pairs(
+        lambda pairs, interp: _division_call(*pairs, n_digits, bits, interp),
+        (dividend, divisor),
+        (0, 1),
+        tile_rows or _DIVISION_TILE_ROWS,
+        interpret,
+    )
 
-    # pad the flat batch to (rows, 128) with rows a multiple of SUBLANES
-    flat_v = dividend.reshape(-1)
-    flat_d = divisor.reshape(-1)
-    min_chunk = SUBLANES * LANES
-    padded = ((n + min_chunk - 1) // min_chunk) * min_chunk
-    rows = padded // LANES
-    if padded != n:
-        pad = padded - n
-        flat_v = jnp.concatenate([flat_v, jnp.zeros((pad,), jnp.int64)])
-        flat_d = jnp.concatenate([flat_d, jnp.ones((pad,), jnp.int64)])
 
-    # round rows up to a whole number of tiles
-    if rows % tile_rows:
-        tile_rows = min(tile_rows, rows)
-        new_rows = ((rows + tile_rows - 1) // tile_rows) * tile_rows
-        extra = (new_rows - rows) * LANES
-        flat_v = jnp.concatenate([flat_v, jnp.zeros((extra,), jnp.int64)])
-        flat_d = jnp.concatenate([flat_d, jnp.ones((extra,), jnp.int64)])
-        rows, padded = new_rows, new_rows * LANES
-    tile_rows = min(tile_rows, rows)
+def _shr_pair(hi, lo, s):
+    """Logical right shift of a (hi, lo) uint64 pair by a STATIC amount."""
+    if s == 0:
+        return hi, lo
+    if s >= 32:
+        return jnp.zeros_like(hi), hi >> _U32(s - 32)
+    return hi >> _U32(s), (lo >> _U32(s)) | (hi << _U32(32 - s))
 
-    vhi, vlo = _split64(flat_v.reshape(rows, LANES))
-    dhi, dlo = _split64(flat_d.reshape(rows, LANES))
 
-    n_chunks = rows // tile_rows
-    if n_chunks == 1:
-        qhi, qlo = _division_call(vhi, vlo, dhi, dlo, n_digits, bits, interpret)
-    else:
-        # one kernel lowering, looped by XLA over the chunk axis — keeps
-        # compile time independent of the batch size
-        chunked = lambda a: a.reshape(n_chunks, tile_rows, LANES)
-        qhi, qlo = lax.map(
-            lambda args: _division_call(*args, n_digits, bits, interpret),
-            (chunked(vhi), chunked(vlo), chunked(dhi), chunked(dlo)),
-        )
-        qhi = qhi.reshape(rows, LANES)
-        qlo = qlo.reshape(rows, LANES)
-    q = _join64(qhi, qlo).reshape(-1)[:n].astype(jnp.int64)
-    return q.reshape(shape)
+def _shl_pair(hi, lo, s):
+    """Logical left shift of a (hi, lo) uint64 pair by a STATIC amount."""
+    if s == 0:
+        return hi, lo
+    if s >= 32:
+        return lo << _U32(s - 32), jnp.zeros_like(lo)
+    return (hi << _U32(s)) | (lo >> _U32(32 - s)), lo << _U32(s)
+
+
+def _and_pair(hi, lo, mask64):
+    return hi & _U32((mask64 >> 32) & 0xFFFFFFFF), lo & _U32(mask64 & 0xFFFFFFFF)
+
+
+def _mul_window_kernel(consts, out_mask, ahi_ref, alo_ref, bhi_ref, blo_ref,
+                       qhi_ref, qlo_ref):
+    """Base-2 cropped partial-product sum, fully VMEM-resident.
+
+    Per digit i of ``a`` (a bit, base 2): select the statically-cropped
+    window of ``b``, shift it to its output position, mask it by
+    ``0 - bit`` (the AND form of a 0/1 multiply), and accumulate mod 2^64
+    in explicit uint32 (hi, lo) pairs.  Digit-exact with the XLA path
+    ``ops.packed._mul_window_packed`` (property-tested in
+    tests/test_pallas.py); the win is that the 40-step chain lives in
+    registers instead of round-tripping an XLA loop carry through HBM.
+    """
+    a_shs, b_shs, b_masks, o_shs = consts
+    ahi = ahi_ref[:]
+    alo = alo_ref[:]
+    bhi = bhi_ref[:]
+    blo = blo_ref[:]
+    acc_hi = jnp.zeros_like(ahi)
+    acc_lo = jnp.zeros_like(alo)
+
+    for i in range(len(a_shs)):
+        m64 = int(b_masks[i])
+        if m64 == 0:
+            continue
+        s = int(a_shs[i])
+        bit = ((ahi >> _U32(s - 32)) if s >= 32 else (alo >> _U32(s))) & _U32(1)
+        neg = _U32(0) - bit
+        whi, wlo = _shr_pair(bhi, blo, int(b_shs[i]))
+        whi, wlo = _and_pair(whi, wlo, m64)
+        xhi, xlo = _shl_pair(whi, wlo, int(o_shs[i]))
+        xhi = xhi & neg
+        xlo = xlo & neg
+        new_lo = acc_lo + xlo
+        carry = (new_lo < xlo).astype(_U32)
+        acc_hi = acc_hi + xhi + carry
+        acc_lo = new_lo
+
+    qhi, qlo = _and_pair(acc_hi, acc_lo, out_mask)
+    qhi_ref[:] = qhi
+    qlo_ref[:] = qlo
+
+
+def _mul_window_call(pairs, consts, out_mask, interpret):
+    rows = pairs[0].shape[0]
+    spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    kernel = functools.partial(_mul_window_kernel, consts, out_mask)
+    return pl.pallas_call(
+        kernel,
+        in_specs=[spec] * 4,
+        out_specs=(spec, spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((rows, LANES), _U32),
+            jax.ShapeDtypeStruct((rows, LANES), _U32),
+        ),
+        interpret=interpret,
+    )(*pairs)
+
+
+def batched_mul_window(a_mag, b_mag, consts, newlength: int,
+                       tile_rows: int = 512, interpret: bool = False):
+    """Windowed (cropped partial-product) multiply for base 2 on int64
+    magnitudes — the Pallas form of ``ops.packed._mul_window_packed``.
+
+    ``consts`` is the tuple from ``ops.packed._mul_window_consts``;
+    ``newlength`` gives the output crop mask (digits == bits at base 2).
+    """
+    out_mask = (1 << newlength) - 1
+    return _tiled_pairs(
+        lambda pairs, interp: _mul_window_call(pairs, consts, out_mask, interp),
+        (a_mag, b_mag),
+        (0, 0),
+        tile_rows,
+        interpret,
+    )
 
 
 def pallas_available() -> bool:

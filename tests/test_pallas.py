@@ -67,3 +67,83 @@ def test_packed_division_routes_to_pallas(rng):
         packed_mod.set_pallas_division(None)
         pk.batched_long_division = orig
     np.testing.assert_array_equal(np.asarray(expected), np.asarray(got))
+
+
+@pytest.mark.parametrize(
+    "a_fmt,b_fmt,out_fmt",
+    [
+        ((16, 40), (16, 40), (16, 40)),   # High dot product
+        ((16, 40), (0, 40), (16, 40)),    # mul by reciprocal
+        ((9, 23), (9, 23), (9, 23)),      # Low dot product
+        ((9, 23), (9, 23), (21, 21)),     # widened 2x2 intermediate
+    ],
+)
+@pytest.mark.parametrize("n", [64, 4096])
+def test_mul_window_parity(rng, a_fmt, b_fmt, out_fmt, n):
+    """Pallas windowed multiply == XLA _mul_window_packed, bit for bit."""
+    from matrix_inversion_tpu.ops.packed import (
+        _mul_window_consts,
+        _mul_window_packed,
+    )
+
+    (a_ints, a_len), (b_ints, b_len), (newints, newlength) = a_fmt, b_fmt, out_fmt
+    a = rng.randint(0, 1 << 62, size=n).astype(np.int64) & ((1 << a_len) - 1)
+    b = rng.randint(0, 1 << 62, size=n).astype(np.int64) & ((1 << b_len) - 1)
+    a[:2] = 0  # zero operands
+    consts = _mul_window_consts(a_ints, a_len, b_ints, b_len, newlength, newints, 1)
+    expected = np.asarray(
+        _mul_window_packed(
+            jnp.asarray(a, jnp.int64), a_ints, a_len,
+            jnp.asarray(b, jnp.int64), b_ints, b_len, newlength, newints, 1,
+        )
+    )
+    got = np.asarray(
+        pk.batched_mul_window(
+            jnp.asarray(a), jnp.asarray(b), consts, newlength, interpret=True
+        )
+    )
+    np.testing.assert_array_equal(expected, got)
+
+
+def test_mul_window_broadcast(rng):
+    # scalar coefficient against a lane vector (the scan-lowering shape)
+    from matrix_inversion_tpu.ops.packed import (
+        _mul_window_consts,
+        _mul_window_packed,
+    )
+
+    a = rng.randint(0, 1 << 40, size=(300, 1)).astype(np.int64)
+    b = rng.randint(0, 1 << 40, size=(300, 7)).astype(np.int64)
+    consts = _mul_window_consts(16, 40, 16, 40, 40, 16, 1)
+    expected = np.asarray(
+        _mul_window_packed(
+            jnp.asarray(a), 16, 40, jnp.asarray(b), 16, 40, 40, 16, 1
+        )
+    )
+    got = np.asarray(
+        pk.batched_mul_window(jnp.asarray(a), jnp.asarray(b), consts, 40,
+                              interpret=True)
+    )
+    np.testing.assert_array_equal(expected, got)
+
+
+def test_mul_group_parity(rng):
+    """Grouped multiply-scan (G products per step) is bit-exact for any G."""
+    from matrix_inversion_tpu.ops import packed
+    from matrix_inversion_tpu.ops.packed import _mul_window_packed
+    import jax
+
+    a = jnp.asarray(rng.randint(0, 1 << 40, size=2000), jnp.int64)
+    b = jnp.asarray(rng.randint(0, 1 << 40, size=2000), jnp.int64)
+    ref = np.asarray(_mul_window_packed(a, 16, 40, b, 16, 40, 40, 16, 1))
+    try:
+        for g in (3, 8, 64):
+            packed.set_mul_group(g)
+            got = np.asarray(
+                jax.jit(
+                    lambda a, b: _mul_window_packed(a, 16, 40, b, 16, 40, 40, 16, 1)
+                )(a, b)
+            )
+            np.testing.assert_array_equal(ref, got)
+    finally:
+        packed.set_mul_group(1)
