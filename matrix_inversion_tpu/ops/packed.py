@@ -144,6 +144,23 @@ def _digit_bits(base: int) -> int:
     return base.bit_length() - 1
 
 
+def _signed_value(mag, sign):
+    """``mag * sign`` for ``sign`` in {-1, 0, +1}.
+
+    The TPU VPU has no 64-bit integer multiply — XLA emulates ``s64 * s64``
+    with several 32-bit ops — so applying a dynamic sign via multiply is one
+    of the most expensive elementwise ops in the circuit (measured ~25% of
+    the n=4 High inversion wall time across iadd chains and compares).  For
+    signs restricted to {-1, 0, +1} two selects are value-identical and
+    much cheaper.  Static (Python int) signs stay multiplies: XLA folds
+    them to a copy/negate.
+    """
+    if isinstance(sign, (int, float, np.integer)):
+        return mag * int(sign)
+    mag = jnp.asarray(mag, MAG_DTYPE)
+    return jnp.where(sign < 0, -mag, jnp.where(sign == 0, jnp.zeros_like(mag), mag))
+
+
 class PackedQFloat(QFloatBase):
     """int64-magnitude QFloat (power-of-two bases, ``base**len < 2**62``)."""
 
@@ -310,19 +327,21 @@ class PackedQFloat(QFloatBase):
     # ---- comparisons ------------------------------------------------------
     def __eq__(self, other):
         self.check_compatibility(other)
-        return ((self._mag == other._mag) * 1) * ((self._sign == other._sign) * 1)
+        eq = (self._mag == other._mag) & jnp.equal(self._sign, other._sign)
+        return eq.astype(MAG_DTYPE)
 
     __hash__ = None
 
     def __gt__(self, other):
-        """Reference qfloat.py:711-739 on magnitudes."""
+        """Reference qfloat.py:711-739 on magnitudes (select form — the
+        reference's flag products are emulated s64 multiplies on TPU)."""
         self.check_compatibility(other)
-        sgn_eq = (self._sign == other._sign) * 1
-        self_gt_other = (self._mag > other._mag) * 1
-        inverse = ((self._sign < 0) * 1) * ((self._mag != other._mag) * 1)
-        return sgn_eq * (self_gt_other ^ inverse) + (1 - sgn_eq) * (
-            (self._sign > other._sign) * 1
-        )
+        sgn_eq = jnp.equal(self._sign, other._sign)
+        self_gt_other = self._mag > other._mag
+        inverse = jnp.less(self._sign, 0) & (self._mag != other._mag)
+        return jnp.where(
+            sgn_eq, self_gt_other ^ inverse, jnp.greater(self._sign, other._sign)
+        ).astype(MAG_DTYPE)
 
     # ---- addition ---------------------------------------------------------
     def __iadd__(self, other):
@@ -330,18 +349,19 @@ class PackedQFloat(QFloatBase):
             return self
         QFloatBase.ADDITIONS += 1
 
-        v = self._mag * self._sign
+        v = _signed_value(self._mag, self._sign)
         if isinstance(other, SignedBinary):
-            v = v + jnp.asarray(other.value, MAG_DTYPE) * (
-                1 << (self._bits * (self._length - self._ints))
+            unit = jnp.asarray(
+                1 << (self._bits * (self._length - self._ints)), MAG_DTYPE
             )
+            v = v + _signed_value(unit, other.value)
         elif _is_number_like(other):
             v = v + jnp.asarray(other, MAG_DTYPE) * (
                 1 << (self._bits * (self._length - self._ints))
             )
         else:
             self.check_compatibility(other)
-            v = v + other._mag * other._sign
+            v = v + _signed_value(other._mag, other._sign)
         self._mag, self._sign = self._tidy_signed(v)
         return self
 
@@ -369,22 +389,23 @@ class PackedQFloat(QFloatBase):
         )
         mask = self._mask()
 
-        def body(state, x):
-            m, s = state
-            om, osgn = x
-            v = m * s + om * osgn
+        # apply signs vectorized over the chain axis, then carry the SIGNED
+        # value through the scan: the per-step tidy (mag = |v| mod base**L,
+        # re-signed) needs only abs/and/selects — no emulated s64 multiply
+        sv = _signed_value(mags, signs)
+
+        def body(v, x):
+            v = v + x
             av = jnp.abs(v)
             mag = av & mask
-            sign = jnp.where((v < 0) & (mag != 0), -1, 1).astype(MAG_DTYPE)
-            return (mag, sign), (av > mask)
+            return jnp.where(v < 0, -mag, mag), (av > mask)
 
-        init_mag = jnp.broadcast_to(self._mag, shape)
-        init_sign = jnp.broadcast_to(jnp.asarray(self._sign, MAG_DTYPE), shape)
-        (mag, sign), ovf = lax.scan(body, (init_mag, init_sign), (mags, signs))
+        init = jnp.broadcast_to(_signed_value(self._mag, self._sign), shape)
+        v, ovf = lax.scan(body, init, sv)
         if _OVERFLOW_TRACKER is not None:
             _OVERFLOW_TRACKER.record(jnp.any(ovf, axis=0))
-        self._mag = mag
-        self._sign = sign
+        self._mag = jnp.abs(v)
+        self._sign = jnp.where(v < 0, -1, 1).astype(MAG_DTYPE)
         return self
 
     # ---- multiplication ---------------------------------------------------
@@ -520,9 +541,16 @@ class PackedQFloat(QFloatBase):
         if isinstance(other, SignedBinary):
             # unchanged or saturated (reference qfloat.py:1199-1210)
             v = other.value
-            is_zero = (v == 0) * 1
-            self._mag = (1 - is_zero) * self._mag + is_zero * self._mask()
-            self._sign = (1 - is_zero) * v + is_zero * self._sign
+            if isinstance(v, (int, np.integer)):
+                is_zero = v == 0
+                self._mag = jnp.full_like(self._mag, self._mask()) if is_zero else self._mag
+                self._sign = self._sign if is_zero else v
+                return self
+            is_zero = v == 0
+            self._mag = jnp.where(is_zero, self._mask(), self._mag)
+            self._sign = jnp.where(
+                is_zero, jnp.asarray(self._sign, MAG_DTYPE), jnp.asarray(v, MAG_DTYPE)
+            )
             return self
 
         QFloatBase.DIVISION += 1
@@ -609,8 +637,7 @@ class PackedQFloat(QFloatBase):
         Deliberately bug-compatible: the sign is NOT blended, exactly like
         ``qfloat_argmax`` in the reference.
         """
-        c = jnp.asarray(cond, MAG_DTYPE)
-        self._mag = c * other._mag + (1 - c) * self._mag
+        self._mag = jnp.where(jnp.not_equal(cond, 0), other._mag, self._mag)
         return self
 
 

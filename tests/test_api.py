@@ -83,7 +83,14 @@ def test_params_validation():
 def test_op_stats(rng):
     from matrix_inversion_tpu.core.qfloat import QFloatBase
 
+    from matrix_inversion_tpu.runtime import api as api_mod
+
     params = LOW.replace(n=3)
+    # drop memoized circuits so construction really re-traces (otherwise a
+    # test that compiled the same config earlier leaves the counters at 0)
+    api_mod._circuit_fn.cache_clear()
+    api_mod._jitted_circuit.cache_clear()
+    api_mod._compiled_circuit.cache_clear()
     QFloatBase.reset_stats()
     B = 2
     binv = BatchedMatrixInversion(params, B, backend="packed")
