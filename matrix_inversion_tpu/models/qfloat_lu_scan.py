@@ -117,7 +117,8 @@ def _invert(u_mag, u_sign, qfloat_len, qfloat_ints, bits, mask):
     fp = qfloat_len  # newints = 0
     n_digits = 1 + fpself + fp
     dividend = jnp.asarray(1 << (bits * (fpself + fp)), MAG_DTYPE)
-    q = packed_long_division(dividend, u_mag, n_digits, bits)
+    q = packed_long_division(dividend, u_mag, n_digits, bits,
+                             divisor_bits=bits * qfloat_len)
     ovf = (q >> (bits * qfloat_len)) != 0
     return q & mask, u_sign, ovf
 
@@ -127,7 +128,8 @@ def _truediv(num_mag, num_sign, den_mag, den_sign, qfloat_len, qfloat_ints,
     """``/=`` on raw magnitudes (reference qfloat.py:1183-1234)."""
     fp = qfloat_len - qfloat_ints
     n_digits = qfloat_len + fp
-    q = packed_long_division(num_mag << (bits * fp), den_mag, n_digits, bits)
+    q = packed_long_division(num_mag << (bits * fp), den_mag, n_digits, bits,
+                             divisor_bits=bits * qfloat_len)
     ovf = (q >> (bits * qfloat_len)) != 0
     return q & mask, num_sign * den_sign, ovf
 

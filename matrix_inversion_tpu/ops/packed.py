@@ -533,7 +533,10 @@ class PackedQFloat(QFloatBase):
         remainder/quotient in VMEM for the whole digit loop; results are
         bit-identical to the XLA ``fori_loop`` path below.
         """
-        return packed_long_division(dividend, self._mag, n_digits, self._bits)
+        return packed_long_division(
+            dividend, self._mag, n_digits, self._bits,
+            divisor_bits=self._bits * self._length,
+        )
 
     def __itruediv__(self, other):
         if isinstance(other, Zero):
@@ -644,16 +647,95 @@ class PackedQFloat(QFloatBase):
 import functools
 
 
-def packed_long_division(dividend, divisor, n_digits, bits):
-    """Restoring long division on int64 magnitudes: q = dividend // divisor.
+# Division lowering: "float" = f32-estimate + exact integer fixup chunks
+# (default where applicable), "classic" = 1 digit per restoring step.
+_DIVISION_IMPL = None
+
+
+def set_division_impl(impl):
+    """Force the division lowering: None = auto, "float", or "classic"."""
+    global _DIVISION_IMPL
+    _DIVISION_IMPL = impl
+
+
+def _float_div_chunk_bits(n_bits, divisor_bits):
+    """Quotient bits per float-assisted step, or 0 if inapplicable.
+
+    Constraints: q_est < 2**15 keeps the 16-bit-limb partial products of
+    ``q_est * divisor`` inside uint32 in the Pallas kernel; the remainder
+    ``r < divisor * 2**k`` and the fixup value ``q_est * divisor`` must
+    stay below 2**62 (signed-int64 headroom for the negative-remainder
+    check); and the f32 estimate error ~2**k * 2**-21 must stay well under
+    the +-2 fixup budget (k <= 14 gives >= 2**7 margin).
+    """
+    if divisor_bits is None:
+        return 0
+    k = min(14, 61 - divisor_bits, n_bits)
+    return k if k >= 4 else 0
+
+
+def _long_division_float(dividend, divisor, n_bits, k):
+    """q = dividend // divisor via f32-estimated radix-2**k long division.
+
+    Exact (not approximate): each chunk's f32 quotient estimate is
+    corrected by +-2 integer fixup rounds, which covers the worst-case
+    estimate error by a margin of >= 2**7 (see _float_div_chunk_bits).
+    Zero divisors saturate the full n_bits window, digit-exact with the
+    restoring loop (reference base_p_arrays.py:189-201).
+    """
+    v = jnp.asarray(dividend, MAG_DTYPE)
+    d = jnp.asarray(divisor, MAG_DTYPE)
+    is_zero = d == 0
+    ds = jnp.where(is_zero, jnp.ones_like(d), d)  # divide by 1, mask later
+    df = ds.astype(jnp.float32)
+
+    n_chunks = -(-n_bits // k)
+    first = n_bits - k * (n_chunks - 1)
+
+    r = jnp.zeros_like(v) + v * 0 + ds * 0  # carry sharding/varying axes
+    q = jnp.zeros_like(r)
+    consumed = 0
+    for c in range(n_chunks):
+        kc = first if c == 0 else k
+        consumed += kc
+        chunk = (v >> (n_bits - consumed)) & ((1 << kc) - 1)
+        r = (r << kc) | chunk
+        qc = jnp.floor(r.astype(jnp.float32) / df).astype(MAG_DTYPE)
+        qc = jnp.clip(qc, 0, (1 << (kc + 1)) - 1)
+        rem = r - qc * ds
+        for _ in range(2):  # estimate one/two too high: remainder negative
+            neg = rem < 0
+            qc = qc - neg.astype(MAG_DTYPE)
+            rem = rem + jnp.where(neg, ds, jnp.zeros_like(ds))
+        for _ in range(2):  # estimate one/two too low: remainder >= divisor
+            ge = rem >= ds
+            qc = qc + ge.astype(MAG_DTYPE)
+            rem = rem - jnp.where(ge, ds, jnp.zeros_like(ds))
+        r = rem
+        q = (q << kc) | qc
+    mask = jnp.asarray((1 << n_bits) - 1, MAG_DTYPE)
+    return jnp.where(is_zero, mask, q)
+
+
+def packed_long_division(dividend, divisor, n_digits, bits, divisor_bits=None):
+    """Long division on int64 magnitudes: q = dividend // divisor.
 
     Digit-exact with reference base_p_arrays.py:173-203 including
     zero-divisor saturation (every quotient digit -> base-1 when the
     divisor is 0, because the remainder never decreases).  Free-function
     form so scanned circuit lowerings (models/qfloat_lu_scan.py) can call
     it on raw magnitude tensors inside ``lax.scan`` bodies.
+
+    ``divisor_bits``: static upper bound on the divisor width (bits *
+    divisor_length at the call site).  When given, the f32-assisted
+    lowering processes ~14 quotient bits per step instead of one digit per
+    restoring step — same exact results, ~4x fewer sequential ops.
     """
     p = 1 << bits
+    n_bits = bits * n_digits
+    k = _float_div_chunk_bits(n_bits, divisor_bits)
+    use_float = k > 0 and _DIVISION_IMPL in (None, "float") \
+        and _DIVISION_IMPL != "classic"
 
     if _pallas_division_enabled():
         shape = jnp.broadcast_shapes(jnp.shape(dividend), jnp.shape(divisor))
@@ -663,9 +745,16 @@ def packed_long_division(dividend, divisor, n_digits, bits):
         if size >= _PALLAS_MIN_BATCH:
             from . import pallas_kernels
 
+            if use_float:
+                return pallas_kernels.batched_long_division_float(
+                    dividend, divisor, n_bits, k
+                )
             return pallas_kernels.batched_long_division(
                 dividend, divisor, n_digits, bits
             )
+
+    if use_float:
+        return _long_division_float(dividend, divisor, n_bits, k)
 
     def body(i, state):
         r, q = state

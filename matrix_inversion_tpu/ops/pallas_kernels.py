@@ -177,6 +177,137 @@ def batched_long_division(dividend, divisor, n_digits: int, bits: int,
     )
 
 
+def _to_f32(hi, lo):
+    """(hi, lo) uint32 pair -> f32, in signed-int-safe pieces.
+
+    Mosaic's reliable integer->float convert is s32->f32, so every piece
+    is kept below 2**31: hi < 2**30 for our < 2**62 values, lo is split
+    8/24.  lo >> 8 < 2**24 and lo & 255 convert exactly; the two adds
+    round once each, so the total relative error is <= ~2**-23 — far
+    inside the +-2 fixup budget of the float-assisted division.
+    """
+    return (
+        hi.astype(jnp.int32).astype(jnp.float32) * 4294967296.0
+        + (lo >> _U32(8)).astype(jnp.int32).astype(jnp.float32) * 256.0
+        + (lo & _U32(255)).astype(jnp.int32).astype(jnp.float32)
+    )
+
+
+def _division_float_kernel(n_bits, k, vhi_ref, vlo_ref, dhi_ref, dlo_ref,
+                           qhi_ref, qlo_ref):
+    """Radix-2**k long division, f32 estimate + exact fixups, VMEM-resident.
+
+    The Pallas form of ``ops.packed._long_division_float`` (same chunking,
+    same fixup bounds — see _float_div_chunk_bits there), on explicit
+    uint32 (hi, lo) pairs.  Bit-exact with the restoring-loop kernels;
+    property-tested in tests/test_pallas.py.
+    """
+    vhi = vhi_ref[:]
+    vlo = vlo_ref[:]
+    dhi = dhi_ref[:]
+    dlo = dlo_ref[:]
+    zero = jnp.zeros_like(vhi)
+
+    is_zero = (dhi | dlo) == 0
+    # divide by 1 when the divisor is 0, saturate later (scalar where
+    # operands become closed_calls Mosaic cannot lower — keep arrays)
+    dslo = jnp.where(is_zero, jnp.ones_like(dlo), dlo)
+    df = _to_f32(dhi, dslo)
+    # 16-bit limbs of the divisor for the q_est * divisor partial products
+    d0 = dslo & _U32(0xFFFF)
+    d1 = dslo >> _U32(16)
+    d2 = dhi & _U32(0xFFFF)
+    d3 = dhi >> _U32(16)
+
+    rhi, rlo = zero, zero
+    qhi, qlo = zero, zero
+    n_chunks = -(-n_bits // k)
+    first = n_bits - k * (n_chunks - 1)
+    consumed = 0
+    for c in range(n_chunks):
+        kc = first if c == 0 else k
+        consumed += kc
+        chi, clo = _shr_pair(vhi, vlo, n_bits - consumed)
+        chunk = clo & _U32((1 << kc) - 1)
+        rhi, rlo = _shl_pair(rhi, rlo, kc)
+        rlo = rlo | chunk
+
+        qc = jnp.floor(_to_f32(rhi, rlo) / df).astype(jnp.int32)
+        qc = jnp.minimum(jnp.maximum(qc, 0), (1 << (kc + 1)) - 1).astype(_U32)
+
+        # qd = qc * ds, 16-bit-limb partial products (all < 2**31)
+        p1s = (qc * d1) << _U32(16)
+        qdlo = qc * d0 + p1s
+        carry = (qdlo < p1s).astype(_U32)
+        qdhi = ((qc * d1) >> _U32(16)) + qc * d2 + ((qc * d3) << _U32(16)) + carry
+
+        # rem = r - qd
+        borrow = (rlo < qdlo).astype(_U32)
+        remlo = rlo - qdlo
+        remhi = rhi - qdhi - borrow
+
+        for _ in range(2):  # estimate too high: remainder negative
+            neg = remhi >> _U32(31)  # sign bit (|rem| < 2**62)
+            m = _U32(0) - neg
+            qc = qc - neg
+            alo = dslo & m
+            nl = remlo + alo
+            remhi = remhi + (dhi & m) + (nl < alo).astype(_U32)
+            remlo = nl
+        for _ in range(2):  # estimate too low: remainder >= divisor
+            ge = ((remhi > dhi) | ((remhi == dhi) & (remlo >= dslo))).astype(_U32)
+            m = _U32(0) - ge
+            qc = qc + ge
+            slo = dslo & m
+            b = (remlo < slo).astype(_U32)
+            remlo = remlo - slo
+            remhi = remhi - (dhi & m) - b
+
+        rhi, rlo = remhi, remlo
+        qhi, qlo = _shl_pair(qhi, qlo, kc)
+        qlo = qlo | qc
+
+    mask64 = (1 << n_bits) - 1
+    qhi = jnp.where(is_zero, jnp.full_like(qhi, (mask64 >> 32) & 0xFFFFFFFF), qhi)
+    qlo = jnp.where(is_zero, jnp.full_like(qlo, mask64 & 0xFFFFFFFF), qlo)
+    qhi_ref[:] = qhi
+    qlo_ref[:] = qlo
+
+
+def _division_float_call(vhi, vlo, dhi, dlo, n_bits, k, interpret):
+    rows = vhi.shape[0]
+    spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    kernel = functools.partial(_division_float_kernel, n_bits, k)
+    return pl.pallas_call(
+        kernel,
+        in_specs=[spec, spec, spec, spec],
+        out_specs=(spec, spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((rows, LANES), _U32),
+            jax.ShapeDtypeStruct((rows, LANES), _U32),
+        ),
+        interpret=interpret,
+    )(vhi, vlo, dhi, dlo)
+
+
+def batched_long_division_float(dividend, divisor, n_bits: int, k: int,
+                                tile_rows: int = None,
+                                interpret: bool = False):
+    """Float-assisted exact division kernel over arbitrarily large batches.
+
+    Same contract as :func:`batched_long_division` (q = dividend //
+    divisor, zero divisor saturates the n_bits window) with ~k quotient
+    bits resolved per sequential step instead of one digit.
+    """
+    return _tiled_pairs(
+        lambda pairs, interp: _division_float_call(*pairs, n_bits, k, interp),
+        (dividend, divisor),
+        (0, 1),
+        tile_rows or _DIVISION_TILE_ROWS,
+        interpret,
+    )
+
+
 def _shr_pair(hi, lo, s):
     """Logical right shift of a (hi, lo) uint64 pair by a STATIC amount."""
     if s == 0:

@@ -59,13 +59,18 @@ def test_packed_division_routes_to_pallas(rng):
     import functools
 
     orig = pk.batched_long_division
+    orig_float = pk.batched_long_division_float
     try:
         packed_mod.set_pallas_division(True)
         pk.batched_long_division = functools.partial(orig, interpret=True)
+        pk.batched_long_division_float = functools.partial(
+            orig_float, interpret=True
+        )
         got = (a.copy() / b.copy()).to_digits()
     finally:
         packed_mod.set_pallas_division(None)
         pk.batched_long_division = orig
+        pk.batched_long_division_float = orig_float
     np.testing.assert_array_equal(np.asarray(expected), np.asarray(got))
 
 
@@ -147,3 +152,98 @@ def test_mul_group_parity(rng):
             np.testing.assert_array_equal(ref, got)
     finally:
         packed.set_mul_group(1)
+
+
+# ---------------------------------------------------------------------------
+# float-assisted exact division (f32 estimate + integer fixups)
+# ---------------------------------------------------------------------------
+
+
+def _adversarial_pairs(rng, divisor_bits, n_bits, n):
+    """Dividend/divisor pairs that stress the floor boundaries: r = q*D,
+    q*D - 1, q*D + D - 1 make the f32 estimate sit exactly on/next to an
+    integer, where an unfixed estimate would be off by one."""
+    maxv = 1 << n_bits
+    divisor = rng.randint(1, 1 << divisor_bits, size=n).astype(np.uint64)
+    q = rng.randint(0, 1 << 14, size=n).astype(np.uint64)
+    exact = divisor * q
+    cases = np.concatenate([
+        exact, exact - 1, exact + divisor - 1,
+        np.minimum(exact + divisor, maxv - 1),
+    ]).astype(np.uint64) % maxv
+    divisors = np.concatenate([divisor] * 4)
+    return cases.astype(np.int64), divisors.astype(np.int64)
+
+
+@pytest.mark.parametrize("divisor_bits,n_bits", [(40, 61), (23, 46), (47, 61)])
+def test_float_division_xla_exact(rng, divisor_bits, n_bits):
+    from matrix_inversion_tpu.ops import packed as P
+
+    k = P._float_div_chunk_bits(n_bits, divisor_bits)
+    assert k >= 4
+    n = 4000
+    dividend = rng.randint(0, 1 << n_bits, size=n, dtype=np.uint64).astype(np.int64)
+    divisor = rng.randint(0, 1 << divisor_bits, size=n, dtype=np.uint64).astype(np.int64)
+    divisor[:5] = 0
+    dividend[5:8] = 0
+    dividend[8] = (1 << n_bits) - 1
+    divisor[9] = 1
+    av, bv = _adversarial_pairs(rng, divisor_bits, n_bits, 500)
+    dividend = np.concatenate([dividend, av])
+    divisor = np.concatenate([divisor, bv])
+
+    q = np.asarray(P._long_division_float(
+        jnp.asarray(dividend), jnp.asarray(divisor), n_bits, k))
+    nz = divisor != 0
+    np.testing.assert_array_equal(
+        q[nz].astype(np.uint64), dividend[nz].astype(np.uint64) // divisor[nz].astype(np.uint64))
+    np.testing.assert_array_equal(q[~nz], np.full(np.sum(~nz), (1 << n_bits) - 1))
+
+
+@pytest.mark.parametrize("divisor_bits,n_bits", [(40, 61), (23, 46)])
+def test_float_division_pallas_exact(rng, divisor_bits, n_bits):
+    from matrix_inversion_tpu.ops import packed as P
+
+    k = P._float_div_chunk_bits(n_bits, divisor_bits)
+    n = 2000
+    dividend = rng.randint(0, 1 << n_bits, size=n, dtype=np.uint64).astype(np.int64)
+    divisor = rng.randint(0, 1 << divisor_bits, size=n, dtype=np.uint64).astype(np.int64)
+    divisor[:5] = 0
+    av, bv = _adversarial_pairs(rng, divisor_bits, n_bits, 400)
+    dividend = np.concatenate([dividend, av])
+    divisor = np.concatenate([divisor, bv])
+
+    q = np.asarray(pk.batched_long_division_float(
+        jnp.asarray(dividend), jnp.asarray(divisor), n_bits, k, interpret=True))
+    nz = divisor != 0
+    np.testing.assert_array_equal(
+        q[nz].astype(np.uint64), dividend[nz].astype(np.uint64) // divisor[nz].astype(np.uint64))
+    np.testing.assert_array_equal(q[~nz], np.full(np.sum(~nz), (1 << n_bits) - 1))
+
+
+def test_float_division_matches_restoring_loop(rng):
+    """End-to-end packed division: float lowering == classic loop, bit-exact."""
+    from matrix_inversion_tpu.ops import packed as P
+    from matrix_inversion_tpu.ops.packed import PackedQFloat
+
+    d1 = rng.randint(0, 2, size=(700, 40))
+    d2 = rng.randint(0, 2, size=(700, 40))
+    d2[:, :20] = 0
+    d2[:4] = 0  # zero divisors saturate
+    s1 = rng.choice([-1, 1], size=700).astype(np.int64)
+    s2 = rng.choice([-1, 1], size=700).astype(np.int64)
+
+    outs = {}
+    for impl in ("classic", "float"):
+        P.set_division_impl(impl)
+        try:
+            a = PackedQFloat.from_digits(d1, 20, 2, s1)
+            b = PackedQFloat.from_digits(d2, 20, 2, s2)
+            div = a.copy() / b.copy()
+            inv = b.invert(1, 40, 0)
+            outs[impl] = (np.asarray(div.to_digits()), np.asarray(div.sign),
+                          np.asarray(inv.to_digits()), np.asarray(inv.sign))
+        finally:
+            P.set_division_impl(None)
+    for x, y in zip(outs["classic"], outs["float"]):
+        np.testing.assert_array_equal(x, y)
