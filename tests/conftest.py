@@ -21,6 +21,18 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+def pytest_collection_modifyitems(config, items):
+    """Two-tier suite: everything not marked ``slow`` is the core tier.
+
+    ``pytest -m core`` = fast semantics/parity tier (<2 min);
+    ``pytest -m slow`` = compile-heavy lowering/inverse cases (nightly);
+    plain ``pytest`` still runs everything.
+    """
+    for item in items:
+        if "slow" not in item.keywords:
+            item.add_marker(pytest.mark.core)
+
+
 @pytest.fixture
 def rng():
     return np.random.RandomState(42)
