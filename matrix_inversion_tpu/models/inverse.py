@@ -48,6 +48,16 @@ def qfloat_matrix_inverse(
     """
     _check_shapes(qfloat_arrays, n, qfloat_len)
     style = _resolve_lowering(lowering, n)
+    if backend != "packed" and lowering in ("scan", "vec"):
+        # the scaled lowerings are built on the packed int64 magnitude
+        # representation; a non-power-of-two base (or an encoding too wide
+        # for int64) has only the unrolled limb path, whose graph grows
+        # O(n^3) — fail loudly rather than silently unrolling
+        raise ValueError(
+            f"lowering='{lowering}' requires the packed backend (base=2^k "
+            f"encoding that fits int64); backend='{backend}' only supports "
+            "the 'unroll' lowering. See README 'Lowerings and bases'."
+        )
     if backend == "packed" and n >= 3 and style in ("scan", "vec"):
         # pack digits -> magnitudes, run the fixed-size scanned program,
         # unpack back to the digit-array output layout (bit-identical to

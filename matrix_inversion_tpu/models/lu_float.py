@@ -2,8 +2,9 @@
 
 Doolittle pivot / LU / inverse on plain floats, used by tests and the error
 benchmark as the comparison oracle (reference
-qfloat_matrix_inversion.py:29-128).  Vectorized over a leading batch axis so
-10^4-matrix precision sweeps run as array ops.
+qfloat_matrix_inversion.py:29-128).  Operates on ONE matrix at a time, like
+the reference — the large precision sweeps use ``np.linalg.inv`` as their
+oracle (utils/precision.py), so this module is never on a hot path.
 """
 
 from __future__ import annotations

@@ -100,6 +100,7 @@ class EncryptedMatrixInversion:
         true_division=False,
         tensorize=False,
         backend="auto",
+        io="digits",
     ):
         self.shape = (n, n)
         self.params = QFloatParams(
@@ -112,6 +113,16 @@ class EncryptedMatrixInversion:
             backend=backend,
         )
         self.backend = self.params.resolve_backend()
+        if io not in ("digits", "packed"):
+            raise ValueError("io must be digits|packed")
+        if io == "packed" and self.backend != "packed":
+            raise ValueError(
+                "packed io requires the packed backend (base=2^k encoding "
+                "that fits in int64)"
+            )
+        # packed io: 1 magnitude word per cell on both sides of the circuit
+        # instead of `qfloat_len` digit words (qfloat_len x less I/O)
+        self.io = io
 
         if sampler is not None:
             # interface parity with the reference input set validation
@@ -122,11 +133,11 @@ class EncryptedMatrixInversion:
                 assert np.issubdtype(sample.dtype, np.floating)
                 assert sample.shape == self.shape
 
-        self._fn = _circuit_fn(self.params, self.backend, "digits")
-        self._jitted = _jitted_circuit(self.params, self.backend, "digits")
+        self._fn = _circuit_fn(self.params, self.backend, io)
+        self._jitted = _jitted_circuit(self.params, self.backend, io)
         # "compile" — the reference's minutes-long concrete step is an XLA
         # AOT compile here (reference main.py:66), memoized per config
-        self.circuit = _compiled_circuit(self.params, self.backend, "digits", ())
+        self.circuit = _compiled_circuit(self.params, self.backend, io, ())
 
     # ---- lifecycle steps (reference main.py:68-91) ------------------------
     def keygen(self):
@@ -134,11 +145,15 @@ class EncryptedMatrixInversion:
         return None
 
     def quantize(self, matrix: np.ndarray):
+        p = self.params
+        if self.io == "packed":
+            from ..models.marshal import float_matrix_to_mags_and_signs
+
+            return float_matrix_to_mags_and_signs(
+                matrix, p.qfloat_len, p.qfloat_ints, p.qfloat_base
+            )
         return float_matrix_to_qfloat_arrays(
-            matrix,
-            self.params.qfloat_len,
-            self.params.qfloat_ints,
-            self.params.qfloat_base,
+            matrix, p.qfloat_len, p.qfloat_ints, p.qfloat_base
         )
 
     def encrypt(self, quantized_matrix, qfloat_signs):
@@ -153,13 +168,23 @@ class EncryptedMatrixInversion:
         return self.circuit(digits, signs)
 
     def decrypt(self, encrypted_result):
-        return np.asarray(jax.block_until_ready(encrypted_result))
+        out = jax.block_until_ready(encrypted_result)
+        if isinstance(out, tuple):
+            return tuple(np.asarray(o) for o in out)
+        return np.asarray(out)
 
     def dequantize(self, quantized_inverted_matrix) -> np.ndarray:
+        p = self.params
+        if self.io == "packed":
+            from ..models.marshal import mags_and_signs_to_float_matrix
+
+            mags, signs = quantized_inverted_matrix
+            return mags_and_signs_to_float_matrix(
+                np.asarray(mags), np.asarray(signs),
+                p.qfloat_len, p.qfloat_ints, p.qfloat_base,
+            )
         return qfloat_and_signs_arrays_to_float_matrix(
-            quantized_inverted_matrix,
-            self.params.qfloat_ints,
-            self.params.qfloat_base,
+            quantized_inverted_matrix, p.qfloat_ints, p.qfloat_base
         )
 
     def run(self, matrix: np.ndarray, simulate=False) -> np.ndarray:
@@ -173,12 +198,16 @@ class EncryptedMatrixInversion:
             quantized_inverted = self.decrypt(encrypted_result)
         else:
             # eager execution of the same traced body (reference main.py:107)
-            quantized_inverted = np.asarray(
-                self._fn(
-                    jnp.asarray(quantized_matrix, jnp.int64),
-                    jnp.asarray(qfloat_signs, jnp.int64),
-                )
+            quantized_inverted = self._fn(
+                jnp.asarray(quantized_matrix, jnp.int64),
+                jnp.asarray(qfloat_signs, jnp.int64),
             )
+            if isinstance(quantized_inverted, tuple):
+                quantized_inverted = tuple(
+                    np.asarray(o) for o in quantized_inverted
+                )
+            else:
+                quantized_inverted = np.asarray(quantized_inverted)
         inverted = self.dequantize(quantized_inverted)
         assert np.issubdtype(inverted.dtype, np.floating)
         assert inverted.shape == self.shape

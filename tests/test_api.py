@@ -98,3 +98,29 @@ def test_op_stats(rng):
     assert QFloatBase.MULTIPLICATION > 0
     assert QFloatBase.ADDITIONS > 0
     assert QFloatBase.DIVISION > 0
+
+
+def test_single_matrix_packed_io(rng):
+    """EncryptedMatrixInversion with io="packed": 1 magnitude word per cell
+    on both sides of the circuit (round-1 verdict weak #8)."""
+    from matrix_inversion_tpu.runtime.api import EncryptedMatrixInversion
+
+    inv_d = EncryptedMatrixInversion(3, qfloat_len=23, qfloat_ints=9)
+    inv_p = EncryptedMatrixInversion(3, qfloat_len=23, qfloat_ints=9, io="packed")
+    M = rng.randn(3, 3) * 100
+    out_d = inv_d.run(M)
+    out_p = inv_p.run(M)
+    np.testing.assert_array_equal(out_p, out_d)
+    np.testing.assert_array_equal(inv_p.run(M, simulate=True), out_p)
+    # packed io moves n*n words instead of n*n*len
+    mags, signs = inv_p.quantize(M)
+    assert mags.shape == (9,) and signs.shape == (9,)
+
+
+def test_single_matrix_packed_io_requires_packed_backend():
+    import pytest
+
+    from matrix_inversion_tpu.runtime.api import EncryptedMatrixInversion
+
+    with pytest.raises(ValueError, match="packed io requires"):
+        EncryptedMatrixInversion(3, backend="limb", io="packed")
