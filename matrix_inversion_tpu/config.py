@@ -37,8 +37,11 @@ class QFloatParams:
                      as nested ``lax.scan``s (graph size — and XLA compile
                      time — independent of n), "vec" vectorizes each sweep
                      with a static outer loop (O(n^2) graph, no wasted
-                     lanes; both in models/qfloat_lu_scan.py), "auto" picks
-                     by n.  Results are bit-identical.
+                     lanes; both in models/qfloat_lu_scan.py), "fused" runs
+                     the whole inversion as one VMEM-resident Pallas kernel
+                     per batch tile (ops/fused_inverse.py — the fastest
+                     path on TPU; ~2.8x unroll at n=4 High), "auto" picks
+                     by n and backend.  Results are bit-identical.
     """
 
     n: int = 2
@@ -57,8 +60,8 @@ class QFloatParams:
             raise ValueError("qfloat_ints must be in [0, qfloat_len]")
         if self.backend not in ("auto", "packed", "limb"):
             raise ValueError("backend must be auto|packed|limb")
-        if self.lowering not in ("auto", "scan", "vec", "unroll"):
-            raise ValueError("lowering must be auto|scan|vec|unroll")
+        if self.lowering not in ("auto", "scan", "vec", "unroll", "fused"):
+            raise ValueError("lowering must be auto|scan|vec|unroll|fused")
 
     @property
     def frac(self) -> int:

@@ -47,8 +47,8 @@ def qfloat_matrix_inverse(
     Output: ``(..., n*n, len+1)`` digit arrays with the sign appended.
     """
     _check_shapes(qfloat_arrays, n, qfloat_len)
-    style = _resolve_lowering(lowering, n)
-    if backend != "packed" and lowering in ("scan", "vec"):
+    style = _resolve_lowering(lowering, n, packed_ok=(backend == "packed"))
+    if backend != "packed" and lowering in ("scan", "vec", "fused"):
         # the scaled lowerings are built on the packed int64 magnitude
         # representation; a non-power-of-two base (or an encoding too wide
         # for int64) has only the unrolled limb path, whose graph grows
@@ -58,17 +58,16 @@ def qfloat_matrix_inverse(
             f"encoding that fits int64); backend='{backend}' only supports "
             "the 'unroll' lowering. See README 'Lowerings and bases'."
         )
-    if backend == "packed" and n >= 3 and style in ("scan", "vec"):
-        # pack digits -> magnitudes, run the fixed-size scanned program,
-        # unpack back to the digit-array output layout (bit-identical to
-        # the unrolled object path; see models/qfloat_lu_scan.py)
+    if backend == "packed" and style == "fused" or (
+        backend == "packed" and n >= 3 and style in ("scan", "vec")
+    ):
+        # pack digits -> magnitudes, run the fixed-size scanned program or
+        # the fused Pallas kernel, unpack back to the digit-array output
+        # layout (bit-identical to the unrolled object path; see
+        # models/qfloat_lu_scan.py and ops/fused_inverse.py)
         import jax.numpy as jnp
 
         from ..ops.packed import MAG_DTYPE, _digit_bits
-        from .qfloat_lu_scan import (
-            qfloat_matrix_inverse_scan,
-            qfloat_matrix_inverse_vec,
-        )
 
         bits = _digit_bits(qfloat_base)
         L = qfloat_len
@@ -76,10 +75,28 @@ def qfloat_matrix_inverse(
             [1 << (bits * (L - 1 - j)) for j in range(L)], MAG_DTYPE
         )
         mags = jnp.sum(jnp.asarray(qfloat_arrays, MAG_DTYPE) * place, axis=-1)
-        fn = qfloat_matrix_inverse_vec if style == "vec" else qfloat_matrix_inverse_scan
-        out_mags, out_signs = fn(
-            mags, qfloat_signs, n, L, qfloat_ints, qfloat_base, true_division
-        )
+        if style == "fused":
+            from ..ops.fused_inverse import fused_matrix_inverse as fn
+
+            out_mags, out_signs = fn(
+                mags, qfloat_signs, n, L, qfloat_ints, qfloat_base,
+                true_division,
+            )
+        else:
+            from .qfloat_lu_scan import (
+                qfloat_matrix_inverse_scan,
+                qfloat_matrix_inverse_vec,
+            )
+
+            fn = (
+                qfloat_matrix_inverse_vec
+                if style == "vec"
+                else qfloat_matrix_inverse_scan
+            )
+            out_mags, out_signs = fn(
+                mags, qfloat_signs, n, L, qfloat_ints, qfloat_base,
+                true_division,
+            )
         shifts = jnp.asarray([bits * (L - 1 - j) for j in range(L)], MAG_DTYPE)
         digits = (
             (out_mags[..., None] >> shifts) & (qfloat_base - 1)
@@ -111,19 +128,41 @@ def qfloat_matrix_inverse(
 
 # Auto lowering policy, grounded in on-chip v5e measurements
 # (benchmarks/results/lowering.json, 65k batch, High preset):
-#   unroll: fastest execution through n=8 (2.24-2.5M inv/s at n=4,
+#   fused:  whole-inversion Pallas kernel (ops/fused_inverse.py) — 52.2M
+#           n=4 High inversions/s at 1M batch vs unroll's 18.3M (the XLA
+#           lowerings are HBM-traffic-bound; the kernel is VMEM-resident).
+#           Auto-selected on single-chip TPU for n <= FUSED_MAX_N; under a
+#           multi-chip mesh wrap it in shard_map or request it explicitly.
+#   unroll: fastest XLA lowering through n=8 (2.24-2.5M inv/s at n=4,
 #           874k vs vec's 682k at n=8) but compile grows ~n^3 (149s at
 #           n=8, ~13 min at n=10);
 #   vec:    fastest at n=9-12 (378k inv/s at n=10, compile 156s, O(n^2)
 #           graph);
 #   scan:   compile nearly flat in n (39s at n=10, 15s CPU at n=16) at
 #           ~2x slower execution — the only practical choice for huge n.
+FUSED_MAX_N = 5
 UNROLL_MAX_N = 8
 VEC_MAX_N = 12
 
 
-def _resolve_lowering(lowering, n):
+def _fused_auto_ok():
+    """Auto-pick the fused kernel only where it is known-good: a real TPU
+    backend (Mosaic; CPU would fall back to the slow interpreter) and a
+    single-device process (under jit-with-shardings XLA would have to
+    partition the custom call; explicit lowering='fused' + shard_map still
+    works multi-chip)."""
+    import jax
+
+    try:
+        return jax.default_backend() not in ("cpu",) and jax.device_count() == 1
+    except Exception:
+        return False
+
+
+def _resolve_lowering(lowering, n, packed_ok=False):
     if lowering in (None, "auto"):
+        if packed_ok and n <= FUSED_MAX_N and _fused_auto_ok():
+            return "fused"
         if n <= UNROLL_MAX_N:
             return "unroll"
         if n <= VEC_MAX_N:
@@ -156,10 +195,17 @@ def qfloat_matrix_inverse_packed_io(
     results, n times fewer traced ops.  None = auto: on for n >= 6 (compile
     relief), off below (measured ~11% faster unvectorized at n=4 on v5e).
     ``lowering`` selects "unroll" (trace every op) vs "scan" (fixed-size
-    lax.scan program, models/qfloat_lu_scan.py) — bit-identical results;
+    lax.scan program, models/qfloat_lu_scan.py) vs "fused" (whole-inversion
+    Pallas kernel, ops/fused_inverse.py) — bit-identical results;
     None/"auto" picks scan for n >= 8 where unrolled XLA compiles blow up.
     """
-    style = _resolve_lowering(lowering, n)
+    style = _resolve_lowering(lowering, n, packed_ok=True)
+    if style == "fused":
+        from ..ops.fused_inverse import fused_matrix_inverse
+
+        return fused_matrix_inverse(
+            mags, signs, n, qfloat_len, qfloat_ints, qfloat_base, true_division
+        )
     if n >= 3 and style in ("scan", "vec"):
         from .qfloat_lu_scan import (
             qfloat_matrix_inverse_scan,

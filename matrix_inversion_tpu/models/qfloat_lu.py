@@ -185,6 +185,41 @@ def qfloat_pivot_matrix(M):
     return pivot_mat
 
 
+def qfloat_pivot_cells(M):
+    """Pivot permutation as an n x n list of 0/1 integer arrays (one per cell).
+
+    Same math as :func:`qfloat_pivot_matrix` cell by cell — row j of the
+    permutation becomes one-hot row ``r = argmax_i |M[i][j]|`` — but with no
+    stacked (..., n, n) tensor, no ``.at[].set``: just elementwise int ops on
+    batch-shaped arrays.  This is the form the fused Pallas kernel needs
+    (Mosaic handles (rows, 128) int vectors, not scatter updates on trailing
+    matrix axes).  Reference qfloat_matrix_inversion.py:331-369.
+    """
+    assert len(M) == len(M[0])
+    n = len(M)
+    # int32 one-hot masks throughout: under x64, ``bool * 1`` would promote
+    # to int64, which Mosaic cannot lower inside the fused kernel
+    onehot = lambda i, r: (i == r).astype(jnp.int32)
+    P = [[1 if i == j else 0 for j in range(n)] for i in range(n)]
+    for j in range(n - 1):
+        r = qfloat_argmax(
+            [i for i in range(j, n)], [abs(M[i][j]) for i in range(j, n)]
+        )
+        temp = [row[:] for row in P]
+        # row j becomes row r
+        for c in range(n):
+            bsum = temp[j][c] * onehot(j, r)
+            for i in range(j + 1, n):
+                bsum = bsum + temp[i][c] * onehot(i, r)
+            P[j][c] = bsum
+        # row r becomes row j
+        for jj in range(j + 1, n):
+            e = onehot(jj, r)
+            for c in range(n):
+                P[jj][c] = (1 - e) * temp[jj][c] + e * temp[j][c]
+    return P
+
+
 # ---------------------------------------------------------------------------
 # LU decomposition (reference qfloat_matrix_inversion.py:377-453)
 # ---------------------------------------------------------------------------
@@ -192,13 +227,23 @@ def qfloat_pivot_matrix(M):
 
 def qfloat_lu_decomposition(M, qfloat_len, qfloat_ints, true_division=False, tensorize=False):
     """PM = LU on a QFloat 2D-list matrix; returns (P, L, U) with M = PLU."""
+    P = binary_list_matrix(qfloat_pivot_matrix(M))
+    return lu_from_pivot(P, M, qfloat_len, qfloat_ints, true_division, tensorize)
+
+
+def lu_from_pivot(P, M, qfloat_len, qfloat_ints, true_division=False, tensorize=False):
+    """Doolittle LU given a prebuilt SignedBinary pivot matrix ``P``.
+
+    Split out of :func:`qfloat_lu_decomposition` so the fused Pallas kernel
+    (ops/fused_inverse.py), which builds its pivot from per-cell masks
+    (:func:`qfloat_pivot_cells`), can run the identical op sequence.
+    """
     assert len(M) == len(M[0])
     n = len(M)
 
     L = zero_list_matrix(n)
     U = zero_list_matrix(n)
 
-    P = binary_list_matrix(qfloat_pivot_matrix(M))
     PM = qfloat_list_matrix_multiply(P, M)
 
     for j in range(n):

@@ -1,0 +1,212 @@
+"""Fused whole-inversion Pallas kernel.
+
+One kernel launch runs the ENTIRE batched QFloat matrix inversion —
+pivoting, LU decomposition, forward/backward substitution (or the 2x2
+closed form) — for a tile of the batch, fully VMEM-resident.
+
+Why: the XLA lowering of the packed circuit is HBM-traffic-bound, not
+VPU-bound.  Every ``lax.scan`` step of every multiply and every fusion
+boundary round-trips batch-sized int64 tensors through HBM; at 1M batch
+that is ~45 kB of traffic per inversion, which at v5e bandwidth caps
+throughput almost exactly at the measured 18.3M inversions/s (NOTES.md).
+This kernel reads 16 cells (hi, lo, sign) once and writes them once:
+~0.4 kB per inversion, ~100x less traffic, leaving the VPU as the limit.
+
+How: the kernel body is the *same trace-time circuit machinery* as every
+other lowering — models/qfloat_lu.py run with
+:class:`~matrix_inversion_tpu.ops.pair_qfloat.PairQFloat` cells (uint32
+(hi, lo) pairs, the register width Mosaic actually has).  Bit-exactness
+with the unrolled packed lowering is therefore structural (same op
+sequence, pair ops property-tested) and verified end-to-end in
+tests/test_fused.py.
+
+Grid-free by necessity: the remote-compile Mosaic stack rejects every
+grid-style kernel (NOTES.md), so large batches are chunked at the XLA
+level with ``lax.map`` like ops/pallas_kernels.py does.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..core.qfloat import SignedBinary
+from . import pair_math as pm
+from .pair_qfloat import PairQFloat, _sign_arr
+
+LANES = 128
+SUBLANES = 8
+
+# Rows (of 128 lanes) per kernel launch.  Swept on v5e (1M batch, n=4 High,
+# inversions/s): 8 -> 47.0M, 16 -> 49.9M, 32 -> 45.7M, 64 -> 52.2M (needs
+# the raised vmem limit below).  VMEM at 64 rows: I/O buffers 3*2*n^2*
+# rows*128*4 B = 6.3 MB + Mosaic temporaries for the live QFloat pairs.
+_TILE_ROWS = 64
+
+
+def set_tile_rows(rows):
+    global _TILE_ROWS
+    _TILE_ROWS = int(rows)
+
+
+def fused_inverse_body(hi, lo, sg, n, qfloat_len, qfloat_ints, base,
+                       true_division):
+    """The whole inversion on stacked (n*n, ...) uint32 pair words.
+
+    Pure jnp: this is both the Pallas kernel body (on VMEM-loaded tiles)
+    and an eagerly-testable function (tests/test_fused.py runs it directly
+    against the packed unrolled lowering — no Pallas required).
+    """
+    from ..models.qfloat_lu import (
+        lu_from_pivot,
+        qfloat_inverse_2x2,
+        qfloat_lu_inverse,
+        qfloat_pivot_cells,
+    )
+
+    cells = [
+        PairQFloat(hi[idx], lo[idx], qfloat_len, qfloat_ints, base, sg[idx])
+        for idx in range(n * n)
+    ]
+    M = [cells[i * n:(i + 1) * n] for i in range(n)]
+
+    if n == 2:
+        Minv = qfloat_inverse_2x2(M, qfloat_len, qfloat_ints)
+    else:
+        P = [
+            [SignedBinary(c) for c in row]
+            for row in qfloat_pivot_cells(M)
+        ]
+        Pb, Lm, Um = lu_from_pivot(
+            P, M, qfloat_len, qfloat_ints, true_division, False
+        )
+        Minv = qfloat_lu_inverse(
+            Pb, Lm, Um, qfloat_len, qfloat_ints, true_division, False
+        )
+
+    ohi, olo, osg = [], [], []
+    for i in range(n):
+        for j in range(n):
+            cell = Minv[i][j]
+            assert isinstance(cell, PairQFloat), type(cell)
+            ohi.append(cell.hi)
+            olo.append(cell.lo)
+            osg.append(_sign_arr(cell.sign, cell.hi).astype(jnp.int32))
+    return ohi, olo, osg
+
+
+def _fused_kernel(n, qfloat_len, qfloat_ints, base, true_division,
+                  hi_ref, lo_ref, sg_ref, ohi_ref, olo_ref, osg_ref):
+    n2 = n * n
+    ohi, olo, osg = fused_inverse_body(
+        [hi_ref[i] for i in range(n2)],
+        [lo_ref[i] for i in range(n2)],
+        [sg_ref[i] for i in range(n2)],
+        n, qfloat_len, qfloat_ints, base, true_division,
+    )
+    for i in range(n2):
+        ohi_ref[i] = ohi[i]
+        olo_ref[i] = olo[i]
+        osg_ref[i] = osg[i]
+
+
+def _fused_call(hi, lo, sg, n, qfloat_len, qfloat_ints, base, true_division,
+                interpret):
+    n2, rows, _ = hi.shape
+    spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    kernel = functools.partial(
+        _fused_kernel, n, qfloat_len, qfloat_ints, base, true_division
+    )
+    shape = (n2, rows, LANES)
+    return pl.pallas_call(
+        kernel,
+        in_specs=[spec, spec, spec],
+        out_specs=(spec, spec, spec),
+        out_shape=(
+            jax.ShapeDtypeStruct(shape, jnp.uint32),
+            jax.ShapeDtypeStruct(shape, jnp.uint32),
+            jax.ShapeDtypeStruct(shape, jnp.int32),
+        ),
+        # the default 16 MB scoped-vmem budget caps the tile at 32 rows;
+        # raising it lets larger tiles compile (measured in the tile sweep)
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(hi, lo, sg)
+
+
+def fused_matrix_inverse(mags, signs, n, qfloat_len, qfloat_ints, base,
+                         true_division, tile_rows=None, interpret=False):
+    """Whole-inversion fused kernel over arbitrarily large batches.
+
+    Same contract as the packed-I/O circuit body
+    (``models.inverse.qfloat_matrix_inverse_packed_io``): ``(..., n*n)``
+    int64 magnitudes + signs in, the same (int64) out — bit-identical
+    results, one kernel launch per batch tile instead of one XLA kernel
+    per op.
+    """
+    tile_rows = tile_rows or _TILE_ROWS
+    if not interpret and jax.default_backend() == "cpu":
+        interpret = True  # Mosaic is TPU-only; CPU runs use the interpreter
+    mags = jnp.asarray(mags, jnp.int64)
+    n2 = n * n
+    assert mags.shape[-1] == n2
+    bshape = mags.shape[:-1]
+    b = int(np.prod(bshape)) if bshape else 1
+
+    # (..., n2) -> (n2, B): cell-major so each (rows, 128) tile of one cell
+    # is contiguous for the kernel
+    flat_m = jnp.moveaxis(mags.reshape(b, n2), -1, 0)
+    flat_s = jnp.moveaxis(
+        jnp.broadcast_to(jnp.asarray(signs), bshape + (n2,)).reshape(b, n2), -1, 0
+    ).astype(jnp.int32)
+
+    min_chunk = SUBLANES * LANES
+    padded = ((b + min_chunk - 1) // min_chunk) * min_chunk
+    rows = padded // LANES
+    if rows % tile_rows:
+        tile_rows = min(tile_rows, rows)
+        rows = ((rows + tile_rows - 1) // tile_rows) * tile_rows
+        padded = rows * LANES
+    tile_rows = min(tile_rows, rows)
+    if padded != b:
+        # pad with identity-ish zeros: all ops are branchless, padding runs
+        # through the same circuit and is sliced off afterwards
+        flat_m = jnp.concatenate(
+            [flat_m, jnp.zeros((n2, padded - b), jnp.int64)], axis=-1
+        )
+        flat_s = jnp.concatenate(
+            [flat_s, jnp.ones((n2, padded - b), jnp.int32)], axis=-1
+        )
+
+    hi, lo = pm.split64(flat_m.reshape(n2, rows, LANES))
+    sg = flat_s.reshape(n2, rows, LANES)
+
+    n_chunks = rows // tile_rows
+    if n_chunks == 1:
+        ohi, olo, osg = _fused_call(
+            hi, lo, sg, n, qfloat_len, qfloat_ints, base, true_division,
+            interpret,
+        )
+    else:
+        chunked = lambda a: a.reshape(n2, n_chunks, tile_rows, LANES).swapaxes(0, 1)
+        ohi, olo, osg = lax.map(
+            lambda args: _fused_call(
+                *args, n, qfloat_len, qfloat_ints, base, true_division,
+                interpret,
+            ),
+            (chunked(hi), chunked(lo), chunked(sg)),
+        )
+        unchunk = lambda a: a.swapaxes(0, 1).reshape(n2, rows, LANES)
+        ohi, olo, osg = unchunk(ohi), unchunk(olo), unchunk(osg)
+
+    out_m = pm.join64(ohi.reshape(n2, -1), olo.reshape(n2, -1)).astype(jnp.int64)
+    out_s = osg.reshape(n2, -1).astype(jnp.int64)
+    out_m = jnp.moveaxis(out_m[:, :b], 0, -1).reshape(bshape + (n2,))
+    out_s = jnp.moveaxis(out_s[:, :b], 0, -1).reshape(bshape + (n2,))
+    return out_m, out_s

@@ -1,0 +1,293 @@
+"""uint32 (hi, lo) pair arithmetic — the TPU-register-level number format.
+
+The TPU VPU is a 32-bit machine: XLA emulates every int64 elementwise op
+with several u32 ops, and Mosaic (Pallas) has no 64-bit integers at all.
+This module implements the <2**64 unsigned arithmetic the packed QFloat
+backend needs (see ops/packed.py) on explicit ``(hi, lo)`` uint32 pairs:
+
+* plain jnp on arrays -> usable eagerly, under jit, AND inside Pallas
+  kernel bodies (the fused whole-inversion kernel builds on it);
+* every routine is a pure function with static shift/mask/width arguments,
+  so inside a kernel the whole chain stays in vector registers/VMEM.
+
+Bit-exactness contract: each function reproduces the corresponding int64
+routine in ops/packed.py digit for digit (property-tested in
+tests/test_pair_qfloat.py); the division/multiply bodies here are the
+single source of truth for the Pallas kernels in ops/pallas_kernels.py.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+_U32 = jnp.uint32
+_MASK32 = 0xFFFFFFFF
+
+
+def split64(x):
+    """int64/uint64 array -> (hi, lo) uint32 pair."""
+    x = jnp.asarray(x).astype(jnp.uint64)
+    return (x >> jnp.uint64(32)).astype(_U32), (x & jnp.uint64(_MASK32)).astype(_U32)
+
+
+def join64(hi, lo):
+    """(hi, lo) uint32 pair -> uint64 array."""
+    return (hi.astype(jnp.uint64) << jnp.uint64(32)) | lo.astype(jnp.uint64)
+
+
+def const_pair(value, like_hi):
+    """Static python int < 2**64 -> broadcast (hi, lo) pair shaped like ``like_hi``."""
+    v = int(value)
+    return (
+        jnp.full_like(like_hi, (v >> 32) & _MASK32),
+        jnp.full_like(like_hi, v & _MASK32),
+    )
+
+
+def shr(hi, lo, s: int):
+    """Logical right shift by a STATIC amount s in [0, 63]."""
+    if s == 0:
+        return hi, lo
+    if s >= 32:
+        return jnp.zeros_like(hi), hi >> _U32(s - 32)
+    return hi >> _U32(s), (lo >> _U32(s)) | (hi << _U32(32 - s))
+
+
+def shl(hi, lo, s: int):
+    """Logical left shift by a STATIC amount s in [0, 63] (mod 2**64)."""
+    if s == 0:
+        return hi, lo
+    if s >= 32:
+        return lo << _U32(s - 32), jnp.zeros_like(lo)
+    return (hi << _U32(s)) | (lo >> _U32(32 - s)), lo << _U32(s)
+
+
+def and_const(hi, lo, mask64: int):
+    """Bitwise AND with a STATIC 64-bit mask."""
+    return hi & _U32((mask64 >> 32) & _MASK32), lo & _U32(mask64 & _MASK32)
+
+
+def add(h1, l1, h2, l2):
+    """(h1,l1) + (h2,l2) mod 2**64."""
+    lo = l1 + l2
+    carry = (lo < l2).astype(_U32)
+    return h1 + h2 + carry, lo
+
+
+def sub(h1, l1, h2, l2):
+    """(h1,l1) - (h2,l2) mod 2**64."""
+    borrow = (l1 < l2).astype(_U32)
+    return h1 - h2 - borrow, l1 - l2
+
+
+def ge(h1, l1, h2, l2):
+    """(h1,l1) >= (h2,l2), bool array."""
+    return (h1 > h2) | ((h1 == h2) & (l1 >= l2))
+
+
+def gt(h1, l1, h2, l2):
+    """(h1,l1) > (h2,l2), bool array."""
+    return (h1 > h2) | ((h1 == h2) & (l1 > l2))
+
+
+def eq(h1, l1, h2, l2):
+    return (h1 == h2) & (l1 == l2)
+
+
+def nonzero(hi, lo):
+    return (hi | lo) != 0
+
+
+def select(cond, ah, al, bh, bl):
+    """where(cond, a, b) on pairs; ``cond`` is a bool array."""
+    return jnp.where(cond, ah, bh), jnp.where(cond, al, bl)
+
+
+def and_mask(hi, lo, m):
+    """AND both words with a dynamic uint32 mask (0 or 0xffffffff)."""
+    return hi & m, lo & m
+
+
+def mul_small(hi, lo, k):
+    """(hi, lo) * k mod 2**64 for a dynamic u32 factor k < 2**16.
+
+    16-bit-limb partial products keep every intermediate < 2**32.
+    """
+    k = k.astype(_U32) if hasattr(k, "astype") else _U32(k)
+    l0 = lo & _U32(0xFFFF)
+    l1 = lo >> _U32(16)
+    p1 = (l1 * k) << _U32(16)
+    new_lo = l0 * k + p1
+    carry = (new_lo < p1).astype(_U32)
+    new_hi = hi * k + ((l1 * k) >> _U32(16)) + carry
+    return new_hi, new_lo
+
+
+def to_f32(hi, lo):
+    """(hi, lo) pair -> f32, in signed-int-safe pieces.
+
+    Mosaic's reliable integer->float convert is s32->f32, so every piece is
+    kept below 2**31: hi < 2**30 for our < 2**62 values, lo is split 8/24.
+    lo >> 8 < 2**24 and lo & 255 convert exactly; the two adds round once
+    each, so the total relative error is <= ~2**-23 — far inside the +-2
+    fixup budget of the float-assisted division.
+    """
+    return (
+        hi.astype(jnp.int32).astype(jnp.float32) * 4294967296.0
+        + (lo >> _U32(8)).astype(jnp.int32).astype(jnp.float32) * 256.0
+        + (lo & _U32(255)).astype(jnp.int32).astype(jnp.float32)
+    )
+
+
+def div_float(vhi, vlo, dhi, dlo, n_bits: int, k: int):
+    """q = v // d via radix-2**k long division, f32 estimate + exact fixups.
+
+    Pair form of ``ops.packed._long_division_float`` — EXACT, not
+    approximate: each chunk's f32 quotient estimate is corrected by +-2
+    integer fixup rounds (worst-case estimate error is covered with >= 2**7
+    margin, see ``ops.packed._float_div_chunk_bits``).  Zero divisors
+    saturate the full n_bits window, digit-exact with the restoring loop
+    (reference base_p_arrays.py:189-201).
+    """
+    zero = jnp.zeros_like(vhi)
+
+    is_zero = (dhi | dlo) == 0
+    # divide by 1 when the divisor is 0, saturate later (keep array
+    # operands: scalar where operands become closed_calls Mosaic cannot
+    # lower)
+    dslo = jnp.where(is_zero, jnp.ones_like(dlo), dlo)
+    df = to_f32(dhi, dslo)
+    # 16-bit limbs of the divisor for the q_est * divisor partial products
+    d0 = dslo & _U32(0xFFFF)
+    d1 = dslo >> _U32(16)
+    d2 = dhi & _U32(0xFFFF)
+    d3 = dhi >> _U32(16)
+
+    rhi, rlo = zero, zero
+    qhi, qlo = zero, zero
+    n_chunks = -(-n_bits // k)
+    first = n_bits - k * (n_chunks - 1)
+    consumed = 0
+    for c in range(n_chunks):
+        kc = first if c == 0 else k
+        consumed += kc
+        chi, clo = shr(vhi, vlo, n_bits - consumed)
+        chunk = clo & _U32((1 << kc) - 1)
+        rhi, rlo = shl(rhi, rlo, kc)
+        rlo = rlo | chunk
+
+        qc = jnp.floor(to_f32(rhi, rlo) / df).astype(jnp.int32)
+        qc = jnp.minimum(jnp.maximum(qc, 0), (1 << (kc + 1)) - 1).astype(_U32)
+
+        # qd = qc * ds, 16-bit-limb partial products (all < 2**31)
+        p1s = (qc * d1) << _U32(16)
+        qdlo = qc * d0 + p1s
+        carry = (qdlo < p1s).astype(_U32)
+        qdhi = ((qc * d1) >> _U32(16)) + qc * d2 + ((qc * d3) << _U32(16)) + carry
+
+        # rem = r - qd
+        borrow = (rlo < qdlo).astype(_U32)
+        remlo = rlo - qdlo
+        remhi = rhi - qdhi - borrow
+
+        for _ in range(2):  # estimate too high: remainder negative
+            neg = remhi >> _U32(31)  # sign bit (|rem| < 2**62)
+            m = _U32(0) - neg
+            qc = qc - neg
+            alo = dslo & m
+            nl = remlo + alo
+            remhi = remhi + (dhi & m) + (nl < alo).astype(_U32)
+            remlo = nl
+        for _ in range(2):  # estimate too low: remainder >= divisor
+            geq = ((remhi > dhi) | ((remhi == dhi) & (remlo >= dslo))).astype(_U32)
+            m = _U32(0) - geq
+            qc = qc + geq
+            slo = dslo & m
+            b = (remlo < slo).astype(_U32)
+            remlo = remlo - slo
+            remhi = remhi - (dhi & m) - b
+
+        rhi, rlo = remhi, remlo
+        qhi, qlo = shl(qhi, qlo, kc)
+        qlo = qlo | qc
+
+    mask64 = (1 << n_bits) - 1
+    qhi = jnp.where(is_zero, jnp.full_like(qhi, (mask64 >> 32) & _MASK32), qhi)
+    qlo = jnp.where(is_zero, jnp.full_like(qlo, mask64 & _MASK32), qlo)
+    return qhi, qlo
+
+
+def div_classic(vhi, vlo, dhi, dlo, n_digits: int, bits: int):
+    """q = v // d, one base-2**bits digit per restoring step.
+
+    Pair form of the ``ops.packed.packed_long_division`` fori_loop body
+    (reference base_p_arrays.py:173-203), fully unrolled.
+    """
+    base_mask = _U32((1 << bits) - 1)
+    zero = jnp.zeros_like(vhi)
+    rhi, rlo = zero, zero
+    qhi, qlo = zero, zero
+
+    for i in range(n_digits):
+        shift = (n_digits - 1 - i) * bits
+        # power-of-two digit widths never straddle the 32-bit boundary
+        if shift >= 32:
+            digit = (vhi >> _U32(shift - 32)) & base_mask
+        else:
+            digit = (vlo >> _U32(shift)) & base_mask
+        # r = (r << bits) | digit
+        rhi = (rhi << _U32(bits)) | (rlo >> _U32(32 - bits))
+        rlo = (rlo << _U32(bits)) | digit
+
+        qdigit = zero
+        for _ in range((1 << bits) - 1):
+            geq = (rhi > dhi) | ((rhi == dhi) & (rlo >= dlo))
+            borrow = (rlo < dlo) & geq
+            rlo = jnp.where(geq, rlo - dlo, rlo)
+            rhi = jnp.where(geq, rhi - dhi - borrow.astype(_U32), rhi)
+            qdigit = qdigit + geq.astype(_U32)
+        # q = (q << bits) | qdigit
+        qhi = (qhi << _U32(bits)) | (qlo >> _U32(32 - bits))
+        qlo = (qlo << _U32(bits)) | qdigit
+
+    return qhi, qlo
+
+
+def mul_window(ahi, alo, bhi, blo, consts, out_mask64: int, bits: int = 1):
+    """Cropped partial-product sum on pairs — the packed windowed multiply.
+
+    ``consts`` is the (a_shift, b_shift, b_mask, out_shift) tuple from
+    ``ops.packed._mul_window_consts``.  Per digit i of ``a``: select the
+    statically-cropped window of ``b``, shift it to its output position,
+    scale by the digit (an AND mask at base 2, a 16-bit-limb multiply for
+    wider power-of-two bases), and accumulate mod 2**64.  Digit-exact with
+    ``ops.packed._mul_window_packed`` (reference qfloat.py:955-1021).
+    """
+    a_shs, b_shs, b_masks, o_shs = consts
+    acc_hi = jnp.zeros_like(ahi)
+    acc_lo = jnp.zeros_like(alo)
+    base_mask = _U32((1 << bits) - 1)
+
+    for i in range(len(a_shs)):
+        m64 = int(b_masks[i])
+        if m64 == 0:
+            continue
+        s = int(a_shs[i])
+        digit = ((ahi >> _U32(s - 32)) if s >= 32 else (alo >> _U32(s))) & base_mask
+        whi, wlo = shr(bhi, blo, int(b_shs[i]))
+        whi, wlo = and_const(whi, wlo, m64)
+        if bits == 1:
+            neg = _U32(0) - digit
+            xhi, xlo = shl(whi, wlo, int(o_shs[i]))
+            xhi = xhi & neg
+            xlo = xlo & neg
+        else:
+            xhi, xlo = mul_small(whi, wlo, digit)
+            xhi, xlo = shl(xhi, xlo, int(o_shs[i]))
+        new_lo = acc_lo + xlo
+        carry = (new_lo < xlo).astype(_U32)
+        acc_hi = acc_hi + xhi + carry
+        acc_lo = new_lo
+
+    return and_const(acc_hi, acc_lo, out_mask64)
