@@ -172,7 +172,7 @@ def div_float(vhi, vlo, dhi, dlo, n_bits: int, k: int):
     for c in range(n_chunks):
         kc = first if c == 0 else k
         consumed += kc
-        chi, clo = shr(vhi, vlo, n_bits - consumed)
+        _, clo = shr(vhi, vlo, n_bits - consumed)
         chunk = clo & _U32((1 << kc) - 1)
         rhi, rlo = shl(rhi, rlo, kc)
         rlo = rlo | chunk

@@ -71,6 +71,42 @@ def data_parallel_inverse(params: QFloatParams, mesh: Mesh, backend=None):
     )
 
 
+def data_parallel_inverse_fused(params: QFloatParams, mesh: Mesh,
+                                tile_rows=None, interpret=False):
+    """Batch-sharded FUSED inversion: shard_map around the whole-inversion
+    Pallas kernel (ops/fused_inverse.py), packed I/O.
+
+    Why shard_map and not jit-with-shardings: under automatic partitioning
+    XLA would have to shard the Pallas custom call itself; shard_map
+    instead runs one independent kernel per device on its batch shard —
+    the natural multi-chip form of an embarrassingly-parallel batch (zero
+    collectives, aggregate rate = per-chip rate x N by construction).
+    Bit-exact with every other lowering (tests/test_sharding.py).
+    """
+    from ..ops.fused_inverse import fused_matrix_inverse
+
+    p = params
+    if p.resolve_backend() != "packed":
+        raise ValueError("fused lowering requires a packed configuration")
+
+    def shard_fn(mags, signs):
+        return fused_matrix_inverse(
+            mags, signs, p.n, p.qfloat_len, p.qfloat_ints, p.qfloat_base,
+            p.true_division, tile_rows=tile_rows, interpret=interpret,
+        )
+
+    mapped = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P("data", None), P("data", None)),
+        out_specs=(P("data", None), P("data", None)),
+        # the pallas_call out_shapes carry no varying-axis metadata; the
+        # per-device program touches no collectives, so the check is moot
+        check_vma=False,
+    )
+    return jax.jit(mapped)
+
+
 def sharded_inverse_with_stats(params: QFloatParams, mesh: Mesh, backend=None):
     """shard_map program: dp-sharded inversion + psum'd global error moments.
 

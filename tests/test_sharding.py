@@ -93,3 +93,32 @@ def test_dp_program_has_zero_collectives(rng):
         "partition-id",
     ):
         assert op not in hlo, f"unexpected collective `{op}` in the dp program"
+
+
+@pytest.mark.slow
+def test_fused_shard_map_matches_unroll(rng):
+    """The fused Pallas kernel under shard_map (one kernel per device on
+    its batch shard) is bit-exact with the single-device unrolled lowering.
+
+    n=2 LOW keeps the interpret-mode kernel body small enough for the CPU
+    mesh; real-TPU parity for larger n is checked on-chip
+    (benchmarks/results/fused.json).
+    """
+    from matrix_inversion_tpu.models.inverse import (
+        qfloat_matrix_inverse_packed_io,
+    )
+    from matrix_inversion_tpu.ops import radix
+    from matrix_inversion_tpu.parallel.mesh import data_parallel_inverse_fused
+
+    p = LOW.replace(n=2)
+    M, d, s = _inputs(rng, p, 1024)
+    mags = jnp.asarray(radix.pack_digits(np.asarray(d), p.qfloat_base))
+    mesh = make_mesh(8, axis_names=("data",))
+    fn = data_parallel_inverse_fused(p, mesh, interpret=True)
+    gm, gs = fn(mags, s)
+    rm, rs = qfloat_matrix_inverse_packed_io(
+        mags, s, p.n, p.qfloat_len, p.qfloat_ints, p.qfloat_base,
+        p.true_division, lowering="unroll",
+    )
+    np.testing.assert_array_equal(np.asarray(rm), np.asarray(gm))
+    np.testing.assert_array_equal(np.asarray(rs), np.asarray(gs))
