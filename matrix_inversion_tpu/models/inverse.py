@@ -140,7 +140,10 @@ def qfloat_matrix_inverse(
 #           graph);
 #   scan:   compile nearly flat in n (39s at n=10, 15s CPU at n=16) at
 #           ~2x slower execution — the only practical choice for huge n.
-FUSED_MAX_N = 5
+# n=6 measured on v5e (round 2): fused 5.0M inv/s (tile_rows=16) vs
+# unroll's 1.52M — 3.3x — at a comparable compile (~90s vs 64s); n=7+ is
+# untested fused (compile grows ~n^3) and stays on the XLA lowerings.
+FUSED_MAX_N = 6
 UNROLL_MAX_N = 8
 VEC_MAX_N = 12
 

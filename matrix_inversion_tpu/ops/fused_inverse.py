@@ -47,12 +47,19 @@ SUBLANES = 8
 # inversions/s): 8 -> 47.0M, 16 -> 49.9M, 32 -> 45.7M, 64 -> 52.2M (needs
 # the raised vmem limit below).  VMEM at 64 rows: I/O buffers 3*2*n^2*
 # rows*128*4 B = 6.3 MB + Mosaic temporaries for the live QFloat pairs.
+# At n=6 the live state is 2.25x n=4's, so the default shrinks (tile 16
+# measured 5.0M inv/s on v5e; 64 would spill).
 _TILE_ROWS = 64
+_TILE_ROWS_BY_N = {6: 16}
 
 
 def set_tile_rows(rows):
     global _TILE_ROWS
     _TILE_ROWS = int(rows)
+
+
+def _default_tile_rows(n):
+    return _TILE_ROWS_BY_N.get(n, _TILE_ROWS) if _TILE_ROWS == 64 else _TILE_ROWS
 
 
 def fused_inverse_body(hi, lo, sg, n, qfloat_len, qfloat_ints, base,
@@ -150,7 +157,7 @@ def fused_matrix_inverse(mags, signs, n, qfloat_len, qfloat_ints, base,
     results, one kernel launch per batch tile instead of one XLA kernel
     per op.
     """
-    tile_rows = tile_rows or _TILE_ROWS
+    tile_rows = tile_rows or _default_tile_rows(n)
     if not interpret and jax.default_backend() == "cpu":
         interpret = True  # Mosaic is TPU-only; CPU runs use the interpreter
     mags = jnp.asarray(mags, jnp.int64)

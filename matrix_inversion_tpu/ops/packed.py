@@ -666,7 +666,8 @@ def _float_div_chunk_bits(n_bits, divisor_bits):
     ``r < divisor * 2**k`` and the fixup value ``q_est * divisor`` must
     stay below 2**62 (signed-int64 headroom for the negative-remainder
     check); and the f32 estimate error ~2**k * 2**-21 must stay well under
-    the +-2 fixup budget (k <= 14 gives >= 2**7 margin).
+    the +-1 fixup budget (k <= 14 keeps the absolute error < 2**-7, so the
+    floored estimate is off by at most one integer boundary).
     """
     if divisor_bits is None:
         return 0
@@ -678,7 +679,7 @@ def _long_division_float(dividend, divisor, n_bits, k):
     """q = dividend // divisor via f32-estimated radix-2**k long division.
 
     Exact (not approximate): each chunk's f32 quotient estimate is
-    corrected by +-2 integer fixup rounds, which covers the worst-case
+    corrected by a +-1 integer fixup round, which covers the worst-case
     estimate error by a margin of >= 2**7 (see _float_div_chunk_bits).
     Zero divisors saturate the full n_bits window, digit-exact with the
     restoring loop (reference base_p_arrays.py:189-201).
@@ -703,11 +704,15 @@ def _long_division_float(dividend, divisor, n_bits, k):
         qc = jnp.floor(r.astype(jnp.float32) / df).astype(MAG_DTYPE)
         qc = jnp.clip(qc, 0, (1 << (kc + 1)) - 1)
         rem = r - qc * ds
-        for _ in range(2):  # estimate one/two too high: remainder negative
+        # one round per direction suffices: |q_est - r/d| < 2**14 * 2**-21
+        # (q_true < 2**k <= 2**14, f32 rounding error ~2**-21 relative), so
+        # the floored estimate is off by at most one integer boundary — see
+        # the proof note in pair_math.div_float (same bound, same test)
+        for _ in range(1):  # estimate one too high: remainder negative
             neg = rem < 0
             qc = qc - neg.astype(MAG_DTYPE)
             rem = rem + jnp.where(neg, ds, jnp.zeros_like(ds))
-        for _ in range(2):  # estimate one/two too low: remainder >= divisor
+        for _ in range(1):  # estimate one too low: remainder >= divisor
             ge = rem >= ds
             qc = qc + ge.astype(MAG_DTYPE)
             rem = rem - jnp.where(ge, ds, jnp.zeros_like(ds))

@@ -130,7 +130,7 @@ def to_f32(hi, lo):
     Mosaic's reliable integer->float convert is s32->f32, so every piece is
     kept below 2**31: hi < 2**30 for our < 2**62 values, lo is split 8/24.
     lo >> 8 < 2**24 and lo & 255 convert exactly; the two adds round once
-    each, so the total relative error is <= ~2**-23 — far inside the +-2
+    each, so the total relative error is <= ~2**-23 — far inside the +-1
     fixup budget of the float-assisted division.
     """
     return (
@@ -144,9 +144,10 @@ def div_float(vhi, vlo, dhi, dlo, n_bits: int, k: int):
     """q = v // d via radix-2**k long division, f32 estimate + exact fixups.
 
     Pair form of ``ops.packed._long_division_float`` — EXACT, not
-    approximate: each chunk's f32 quotient estimate is corrected by +-2
-    integer fixup rounds (worst-case estimate error is covered with >= 2**7
-    margin, see ``ops.packed._float_div_chunk_bits``).  Zero divisors
+    approximate: each chunk's f32 quotient estimate is corrected by +-1
+    integer fixup round (the estimate error is < 2**-7 absolute, so the
+    floor crosses at most one integer boundary — proof note inline below;
+    see also ``ops.packed._float_div_chunk_bits``).  Zero divisors
     saturate the full n_bits window, digit-exact with the restoring loop
     (reference base_p_arrays.py:189-201).
     """
@@ -191,7 +192,15 @@ def div_float(vhi, vlo, dhi, dlo, n_bits: int, k: int):
         remlo = rlo - qdlo
         remhi = rhi - qdhi - borrow
 
-        for _ in range(2):  # estimate too high: remainder negative
+        # ONE fixup round per direction is provably enough: q_true < 2**kc
+        # <= 2**14 (the incoming remainder is < divisor, so r < d * 2**kc),
+        # and the estimate's total relative error is <= ~2**-21 (to_f32 is
+        # two rounded f32 adds per operand, the divide rounds once), so
+        # |q_est - r/d| < 2**14 * 2**-21 = 2**-7 — the floor can land on
+        # q_true - 1 or q_true + 1 only by crossing one integer boundary,
+        # never two.  Property-tested exhaustively around floor boundaries
+        # in tests/test_pair_qfloat.py::test_div_float_fixup_bound.
+        for _ in range(1):  # estimate one too high: remainder negative
             neg = remhi >> _U32(31)  # sign bit (|rem| < 2**62)
             m = _U32(0) - neg
             qc = qc - neg
@@ -199,7 +208,7 @@ def div_float(vhi, vlo, dhi, dlo, n_bits: int, k: int):
             nl = remlo + alo
             remhi = remhi + (dhi & m) + (nl < alo).astype(_U32)
             remlo = nl
-        for _ in range(2):  # estimate too low: remainder >= divisor
+        for _ in range(1):  # estimate one too low: remainder >= divisor
             geq = ((remhi > dhi) | ((remhi == dhi) & (remlo >= dslo))).astype(_U32)
             m = _U32(0) - geq
             qc = qc + geq
@@ -275,16 +284,27 @@ def mul_window(ahi, alo, bhi, blo, consts, out_mask64: int, bits: int = 1):
             continue
         s = int(a_shs[i])
         digit = ((ahi >> _U32(s - 32)) if s >= 32 else (alo >> _U32(s))) & base_mask
-        whi, wlo = shr(bhi, blo, int(b_shs[i]))
-        whi, wlo = and_const(whi, wlo, m64)
+        # ((b >> b_sh) & m) << o_sh == (b <<net>> |net|) & ((m << o_sh) mod
+        # 2**64) for logical shifts — one net shift + one combined mask
+        # instead of shift/mask/shift (all amounts are static here, so the
+        # net direction resolves at trace time; for bits > 1 the scale by
+        # the digit commutes with the shift mod 2**64)
+        net = int(o_shs[i]) - int(b_shs[i])
+        pm64 = (m64 << int(o_shs[i])) & ((1 << 64) - 1)
+        if net >= 0:
+            whi, wlo = shl(bhi, blo, net)
+        else:
+            whi, wlo = shr(bhi, blo, -net)
+        whi, wlo = and_const(whi, wlo, pm64)
         if bits == 1:
             neg = _U32(0) - digit
-            xhi, xlo = shl(whi, wlo, int(o_shs[i]))
-            xhi = xhi & neg
-            xlo = xlo & neg
+            xhi = whi & neg
+            xlo = wlo & neg
         else:
+            # (window * digit) << o_sh == ((window << o_sh) * digit) mod
+            # 2**64 — no extra mask: carry bits above the window are kept
+            # by both forms identically
             xhi, xlo = mul_small(whi, wlo, digit)
-            xhi, xlo = shl(xhi, xlo, int(o_shs[i]))
         new_lo = acc_lo + xlo
         carry = (new_lo < xlo).astype(_U32)
         acc_hi = acc_hi + xhi + carry

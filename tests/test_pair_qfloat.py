@@ -164,3 +164,61 @@ def test_factories_and_roundtrip(rng):
     # from_packed/to_packed round trip
     assert_same(pk, PairQFloat.from_packed(pk))
     np.testing.assert_allclose(pk.to_float(), pr.to_float())
+
+
+def test_div_float_fixup_bound(rng):
+    """Exact-division oracle for the float-assisted long division.
+
+    Both float-assisted lowerings (ops.packed._long_division_float and
+    pair_math.div_float) use ONE fixup round per direction; this is sound
+    because the f32 quotient estimate's absolute error is < 2**-7 (quotient
+    < 2**14, relative rounding error ~2**-21), so the floored estimate can
+    cross at most one integer boundary.  This test checks both lowerings
+    against Python-int division on adversarial inputs sitting exactly ON
+    floor boundaries (v = q*d, q*d - 1, q*d + d - 1) plus random draws at
+    the full High-preset widths (n_bits=60, divisor < 2**40).
+    """
+    import jax.numpy as jnp
+
+    from matrix_inversion_tpu.ops import pair_math as pm
+    from matrix_inversion_tpu.ops.packed import (
+        _float_div_chunk_bits,
+        _long_division_float,
+    )
+
+    n_bits, divisor_bits = 60, 40
+    k = _float_div_chunk_bits(n_bits, divisor_bits)
+    assert k == 14
+
+    vmax = (1 << n_bits) - 1
+    vs, ds = [], []
+    pyrng = np.random.RandomState(7)
+    for _ in range(4096):
+        d = int(pyrng.randint(1, 1 << 31)) * int(pyrng.randint(1, 1 << 9)) + 1
+        d = min(d, (1 << divisor_bits) - 1)
+        q = int(pyrng.randint(0, 1 << 20))
+        for v in (q * d, q * d - 1, q * d + d - 1):
+            if 0 <= v <= vmax:
+                vs.append(v)
+                ds.append(d)
+    # random full-width draws, tiny divisors, zero divisor saturation
+    for _ in range(2048):
+        vs.append(int(pyrng.randint(0, 1 << 30)) << 30 | int(pyrng.randint(0, 1 << 30)))
+        ds.append(int(pyrng.randint(1, 1 << 30)) << int(pyrng.randint(0, 10)) or 1)
+    vs += [vmax, vmax, vmax, 0, 1, vmax]
+    ds += [1, 2, (1 << divisor_bits) - 1, 5, 1, 0]
+
+    expected = np.array(
+        [v // d if d else vmax for v, d in zip(vs, ds)], dtype=np.int64
+    )
+    v64 = jnp.asarray(np.array(vs, dtype=np.int64))
+    d64 = jnp.asarray(np.array(ds, dtype=np.int64))
+
+    got_packed = np.asarray(_long_division_float(v64, d64, n_bits, k))
+    np.testing.assert_array_equal(got_packed, expected)
+
+    vhi, vlo = pm.split64(v64)
+    dhi, dlo = pm.split64(d64)
+    qhi, qlo = pm.div_float(vhi, vlo, dhi, dlo, n_bits, k)
+    got_pair = np.asarray(pm.join64(qhi, qlo)).astype(np.int64)
+    np.testing.assert_array_equal(got_pair, expected)
