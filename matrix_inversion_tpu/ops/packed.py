@@ -829,6 +829,40 @@ def set_mul_group(g):
     _MUL_GROUP = int(g)
 
 
+# Algebraic truncated multiply (see pair_math.mul_truncated for the
+# derivation): one wide multiply for the unfloored digits + ~t1 per-digit
+# floors, instead of one masked shift-add per digit of ``a``.  Digit-exact
+# with the windowed scan (tests/test_packed_parity.py) but incompatible with
+# overflow tracking (its flag reads the carry bits above the output window,
+# which the uncropped high parts pollute), so those paths keep the scan.
+# None = auto (on).
+_MUL_TRUNC = None
+
+
+def set_mul_trunc(enabled):
+    """Force the algebraic truncated multiply on/off (None = auto: on)."""
+    global _MUL_TRUNC
+    _MUL_TRUNC = enabled
+
+
+def _mul_trunc_packed(au, bu, a_len, a_ints, b_len, b_ints,
+                      newlength, newints, bits, base_mask, out_mask):
+    """acc = cropped partial-product sum, algebraic form (uint64)."""
+    t_dig = (a_len - a_ints) + (b_len - b_ints) - (newlength - newints)
+    t1 = bits * t_dig
+    if t1 <= 0:
+        return ((au * bu) << jnp.uint64(-t1)) & out_mask
+    acc = (au >> jnp.uint64(t1)) * bu
+    for p in range(max(0, t_dig - b_len + 1), min(t_dig, a_len)):
+        w = bu >> jnp.uint64(bits * (t_dig - p))
+        a_i = (au >> jnp.uint64(bits * p)) & base_mask
+        if bits == 1:
+            acc = acc + (w & (jnp.uint64(0) - a_i))
+        else:
+            acc = acc + w * a_i
+    return acc & out_mask
+
+
 def _mul_window_packed(a_mag, a_ints, a_len, b_mag, b_ints, b_len,
                        newlength, newints, bits, with_ovf=False):
     """Packed form of the cropped partial-product sum (see module docstring).
@@ -863,6 +897,17 @@ def _mul_window_packed(a_mag, a_ints, a_len, b_mag, b_ints, b_len,
 
     au = a_mag.astype(jnp.uint64)
     bu = b_mag.astype(jnp.uint64)
+
+    if (
+        not with_ovf
+        and _OVERFLOW_TRACKER is None
+        and _MUL_TRUNC in (None, True)
+    ):
+        acc = _mul_trunc_packed(
+            au, bu, a_len, a_ints, b_len, b_ints,
+            newlength, newints, bits, base_mask, out_mask,
+        )
+        return acc.astype(MAG_DTYPE)
 
     # For base 2 the digit a_i is 0/1, so the partial product is a mask:
     # (window << o_sh) & (0 - a_i) replaces a 64-bit multiply (which the

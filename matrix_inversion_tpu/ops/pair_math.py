@@ -263,6 +263,146 @@ def div_classic(vhi, vlo, dhi, dlo, n_digits: int, bits: int):
     return qhi, qlo
 
 
+def _limbs16(hi, lo, n_limbs: int):
+    """Low-first 16-bit limbs of a pair (at most 4)."""
+    out = []
+    for i in range(min(n_limbs, 4)):
+        w = lo if i < 2 else hi
+        out.append(w & _U32(0xFFFF) if i % 2 == 0 else w >> _U32(16))
+    return out
+
+
+def mul_wide(ahi, alo, bhi, blo, a_bits: int, b_bits: int):
+    """Low 64 bits of a * b via 16-bit-limb partial products.
+
+    ``a_bits`` / ``b_bits`` are STATIC width upper bounds; statically-zero
+    limbs and partial products that only feed bits >= 64 are skipped at
+    trace time, so narrow operands cost fewer VPU ops.
+    """
+    na = max(1, -(-a_bits // 16))
+    nb = max(1, -(-b_bits // 16))
+    A = _limbs16(ahi, alo, na)
+    B = _limbs16(bhi, blo, nb)
+    hi = jnp.zeros_like(ahi)
+    lo = jnp.zeros_like(alo)
+    for i in range(len(A)):
+        for j in range(len(B)):
+            k = i + j
+            if k > 3:
+                continue
+            p = A[i] * B[j]
+            if k == 0:
+                nl = lo + p
+                hi = hi + (nl < p).astype(_U32)
+                lo = nl
+            elif k == 1:
+                pl = p << _U32(16)
+                nl = lo + pl
+                hi = hi + (p >> _U32(16)) + (nl < pl).astype(_U32)
+                lo = nl
+            elif k == 2:
+                hi = hi + p
+            else:  # k == 3: only the low 16 bits land below 2**64
+                hi = hi + (p << _U32(16))
+    return hi, lo
+
+
+def mul_truncated(ahi, alo, bhi, blo, a_len: int, a_ints: int, b_len: int,
+                  b_ints: int, newlength: int, newints: int, bits: int):
+    """Exact algebraic form of the cropped partial-product sum.
+
+    Digit-exact with :func:`mul_window` on the same formats (property-tested
+    in tests/test_pair_qfloat.py), but O(1) multiplies instead of one
+    masked shift-add per digit of ``a``.  Derivation from the window
+    constants (ops/packed.py:_mul_window_consts): partial product i (digit
+    position p = a_len-1-i of ``a``) contributes
+
+        a_p * floor(b / 2**t_p) * 2**(bits*p - t1)   with
+        t_p = max(0, t1 - bits*p),  t1 = bits * (fp_a + fp_b - fp_new)
+
+    and every HIGH-side window crop only removes bits that land at/above
+    the output window, where addition carries cannot flow back down — so a
+    single final ``& out_mask`` replaces all of them.  The digits with
+    t_p == 0 share one exponent and collapse into ONE wide multiply
+    ``(a >> t1) * b``; only the ``t1/bits`` low digits of ``a`` keep their
+    individual floors (reference qfloat.py:997-1010 crops each mularray row
+    before summation, which floors each partial product separately).
+    """
+    fp_a = a_len - a_ints
+    fp_b = b_len - b_ints
+    fp_new = newlength - newints
+    t_dig = fp_a + fp_b - fp_new
+    t1 = bits * t_dig
+    out_mask = (1 << (bits * newlength)) - 1
+    a_bits = bits * a_len
+    b_bits = bits * b_len
+    base_mask = _U32((1 << bits) - 1)
+
+    if t1 <= 0:
+        hi, lo = mul_wide(ahi, alo, bhi, blo, a_bits, b_bits)
+        hi, lo = shl(hi, lo, -t1)
+        return and_const(hi, lo, out_mask)
+
+    # S1: all digits p with bits*p >= t1, one multiply (a >> t1 drops the
+    # floored digits exactly — their bits never reach the shifted value)
+    if a_bits > t1:
+        sh_hi, sh_lo = shr(ahi, alo, t1)
+        hi, lo = mul_wide(sh_hi, sh_lo, bhi, blo, a_bits - t1, b_bits)
+    else:
+        hi = jnp.zeros_like(ahi)
+        lo = jnp.zeros_like(alo)
+
+    # S2: the floored digits, narrowest arithmetic that holds each term
+    p_lo = max(0, t_dig - b_len + 1)  # t_p >= bits*b_len floors to zero
+    p_hi = min(t_dig, a_len)
+    for p in range(p_lo, p_hi):
+        t = bits * (t_dig - p)
+        sh = bits * p
+        # digit of a (power-of-two widths never straddle the word boundary)
+        if sh >= 32:
+            d = (ahi >> _U32(sh - 32)) & base_mask
+        else:
+            d = (alo >> _U32(sh)) & base_mask
+        w_bits = b_bits - t
+        # w = b >> t as a single u32 when it fits
+        if t >= 32:
+            w = bhi >> _U32(t - 32)
+            narrow = True
+        elif w_bits <= 32:
+            w = (blo >> _U32(t)) | (bhi << _U32(32 - t))
+            narrow = True
+        else:
+            wh, wl = shr(bhi, blo, t)
+            narrow = False
+        if bits == 1:
+            if narrow:
+                term = w & (_U32(0) - d)
+                nl = lo + term
+                hi = hi + (nl < term).astype(_U32)
+                lo = nl
+            else:
+                m = _U32(0) - d
+                nl = lo + (wl & m)
+                hi = hi + (wh & m) + (nl < (wl & m)).astype(_U32)
+                lo = nl
+        else:
+            if narrow and w_bits + bits <= 32:
+                term = d * w
+                nl = lo + term
+                hi = hi + (nl < term).astype(_U32)
+                lo = nl
+            else:
+                if narrow:
+                    th, tl = mul_small(jnp.zeros_like(w), w, d)
+                else:
+                    th, tl = mul_small(wh, wl, d)
+                nl = lo + tl
+                hi = hi + th + (nl < tl).astype(_U32)
+                lo = nl
+
+    return and_const(hi, lo, out_mask)
+
+
 def mul_window(ahi, alo, bhi, blo, consts, out_mask64: int, bits: int = 1):
     """Cropped partial-product sum on pairs — the packed windowed multiply.
 

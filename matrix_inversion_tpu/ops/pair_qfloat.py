@@ -48,6 +48,35 @@ from .packed import _digit_bits, _float_div_chunk_bits, _mul_window_consts
 _U32 = jnp.uint32
 _I32 = jnp.int32
 
+# Multiply lowering: "trunc" (default) = one wide multiply for the unfloored
+# digits + per-digit floors (pair_math.mul_truncated); "window" = one masked
+# shift-add per digit of ``a`` (pair_math.mul_window).  Bit-identical
+# (property-tested); measured on v5e inside the fused whole-inversion kernel
+# (n=4 High, 1M batch): +7% at equal tile (53.5M -> 57.2M inv/s) and it
+# shifts the optimal tile from 64 to 32 rows, landing at 61.5M.
+_MUL_IMPL = "trunc"
+
+
+def set_mul_impl(impl):
+    """Force the pair multiply lowering: "trunc" or "window"."""
+    global _MUL_IMPL
+    assert impl in ("trunc", "window"), impl
+    _MUL_IMPL = impl
+
+
+def _pair_mul(ahi, alo, a_ints, a_len, bhi, blo, b_ints, b_len,
+              newlength, newints, bits):
+    if _MUL_IMPL == "trunc":
+        return pm.mul_truncated(
+            ahi, alo, bhi, blo, a_len, a_ints, b_len, b_ints,
+            newlength, newints, bits,
+        )
+    consts = _mul_window_consts(
+        a_ints, a_len, b_ints, b_len, newlength, newints, bits
+    )
+    out_mask = (1 << (bits * newlength)) - 1
+    return pm.mul_window(ahi, alo, bhi, blo, consts, out_mask, bits)
+
 
 def _is_static(sign) -> bool:
     return isinstance(sign, (int, np.integer))
@@ -301,13 +330,10 @@ class PairQFloat(QFloatBase):
         else:
             QFloatBase.MULTIPLICATION += 1
             self.check_compatibility(other)
-            consts = _mul_window_consts(
-                self._ints, self._length, other.ints, other._length,
+            self._hi, self._lo = _pair_mul(
+                self._hi, self._lo, self._ints, self._length,
+                other._hi, other._lo, other.ints, other._length,
                 self._length, self._ints, self._bits,
-            )
-            self._hi, self._lo = pm.mul_window(
-                self._hi, self._lo, other._hi, other._lo,
-                consts, self._mask64(), self._bits,
             )
             self._sign = self._sign * other._sign
         return self
@@ -331,12 +357,9 @@ class PairQFloat(QFloatBase):
         QFloatBase.MULTIPLICATION += 1
         if not a.base == b.base:
             raise ValueError("bases are different")
-        consts = _mul_window_consts(
-            a.ints, a._length, b.ints, b._length, newlength, newints, a._bits
-        )
-        out_mask = (1 << (a._bits * newlength)) - 1
-        hi, lo = pm.mul_window(
-            a._hi, a._lo, b._hi, b._lo, consts, out_mask, a._bits
+        hi, lo = _pair_mul(
+            a._hi, a._lo, a.ints, a._length,
+            b._hi, b._lo, b.ints, b._length, newlength, newints, a._bits,
         )
         return cls(hi, lo, newlength, newints, a.base, a.sign * b.sign)
 

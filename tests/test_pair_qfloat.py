@@ -100,6 +100,47 @@ def test_from_mul_crop_corners(rng):
     )
 
 
+@pytest.mark.parametrize("base", [2, 4, 16])
+def test_mul_trunc_vs_window_formats(rng, base):
+    """The algebraic multiply (pair_math.mul_truncated, default) is
+    digit-exact with both the windowed pair form AND the packed reference
+    across random (a_len, a_ints) x (b_len, b_ints) -> (newlength, newints)
+    format combinations — including all-fraction reciprocal operands
+    (t1 > a_len) and widening outputs (t1 <= 0)."""
+    from matrix_inversion_tpu.ops import pair_qfloat as pq
+
+    maxlen = {2: 40, 4: 20, 16: 10}[base]
+    try:
+        for _ in range(40):
+            a_len = rng.randint(2, maxlen + 1)
+            b_len = rng.randint(2, maxlen + 1)
+            fmt = (
+                a_len, rng.randint(0, a_len + 1),
+                b_len, rng.randint(0, b_len + 1),
+            )
+            newlength = rng.randint(2, maxlen + 1)
+            newints = rng.randint(0, newlength + 1)
+            pk1, pr1 = rand_qf(rng, 16, fmt[0], fmt[1], base)
+            pk2, pr2 = rand_qf(rng, 16, fmt[2], fmt[3], base)
+            ref = PackedQFloat.from_mul(pk1, pk2, newlength, newints)
+            pq.set_mul_impl("window")
+            win = PairQFloat.from_mul(pr1, pr2, newlength, newints)
+            pq.set_mul_impl("trunc")
+            trn = PairQFloat.from_mul(pr1, pr2, newlength, newints)
+            assert_same(ref, win)
+            assert_same(ref, trn)
+        # the L-column reciprocal multiply: (len, ints) x (len, 0) -> (len, ints)
+        length, ints = _LEN_INTS[base]
+        pk1, pr1 = rand_qf(rng, base=base)
+        pk2, pr2 = rand_qf(rng, 64, length, 0, base)
+        assert_same(
+            PackedQFloat.from_mul(pk1, pk2, length, ints),
+            PairQFloat.from_mul(pr1, pr2, length, ints),
+        )
+    finally:
+        pq.set_mul_impl("trunc")
+
+
 @pytest.mark.parametrize("base", [2, 4])
 def test_div_parity(rng, base):
     length, ints = _LEN_INTS[base]
