@@ -127,13 +127,15 @@ def qfloat_matrix_inverse(
 
 
 # Auto lowering policy, grounded in on-chip v5e measurements
-# (benchmarks/results/lowering.json, 65k batch, High preset):
-#   fused:  whole-inversion Pallas kernel (ops/fused_inverse.py) — 52.2M
-#           n=4 High inversions/s at 1M batch vs unroll's 18.3M (the XLA
+# (benchmarks/results/lowering.json, 65k batch, High preset; fused/unroll
+# n=4 figures re-measured round 3 at 1M batch with the truncated multiply,
+# benchmarks/results/fused.json):
+#   fused:  whole-inversion Pallas kernel (ops/fused_inverse.py) — 61.5M
+#           n=4 High inversions/s at 1M batch vs unroll's 28.2M (the XLA
 #           lowerings are HBM-traffic-bound; the kernel is VMEM-resident).
 #           Auto-selected on single-chip TPU for n <= FUSED_MAX_N; under a
 #           multi-chip mesh wrap it in shard_map or request it explicitly.
-#   unroll: fastest XLA lowering through n=8 (2.24-2.5M inv/s at n=4,
+#   unroll: fastest XLA lowering through n=8 (28.2M inv/s at n=4 1M batch,
 #           874k vs vec's 682k at n=8) but compile grows ~n^3 (149s at
 #           n=8, ~13 min at n=10);
 #   vec:    fastest at n=9-12 (378k inv/s at n=10, compile 156s, O(n^2)

@@ -43,14 +43,17 @@ from .pair_qfloat import PairQFloat, _sign_arr
 LANES = 128
 SUBLANES = 8
 
-# Rows (of 128 lanes) per kernel launch.  Swept on v5e (1M batch, n=4 High,
-# inversions/s): 8 -> 47.0M, 16 -> 49.9M, 32 -> 45.7M, 64 -> 52.2M (needs
-# the raised vmem limit below).  VMEM at 64 rows: I/O buffers 3*2*n^2*
-# rows*128*4 B = 6.3 MB + Mosaic temporaries for the live QFloat pairs.
-# At n=6 the live state is 2.25x n=4's, so the default shrinks (tile 16
-# measured 5.0M inv/s on v5e; 64 would spill).
-_TILE_ROWS = 64
-_TILE_ROWS_BY_N = {6: 16}
+# Rows (of 128 lanes) per kernel launch, re-swept on v5e with the algebraic
+# truncated multiply (High preset, inversions/s; 1M batch n=4, 262k others):
+#   n=4: 16 -> 54.8M, 24 -> 57.0M, 32 -> 61.5M, 40 -> 58.0M, 48 -> 53.7M,
+#        64 -> 57.2M, 128 -> 52.6M
+#   n=3: 32 -> 40.8M, 64 -> 38.1M;  n=5: 16 -> 26.8M, 32 -> 26.2M;
+#   n=2: 32 -> 43.0M, 64 -> 44.2M
+# The optimum shifted down from 64 rows (round-2 sweep, windowed multiply)
+# because the trunc multiply holds more live temporaries per cell; n=6's
+# 2.25x larger live state shrinks it further.
+_TILE_ROWS = 32
+_TILE_ROWS_BY_N = {2: 64, 5: 16, 6: 16}
 
 
 def set_tile_rows(rows):
@@ -59,7 +62,7 @@ def set_tile_rows(rows):
 
 
 def _default_tile_rows(n):
-    return _TILE_ROWS_BY_N.get(n, _TILE_ROWS) if _TILE_ROWS == 64 else _TILE_ROWS
+    return _TILE_ROWS_BY_N.get(n, _TILE_ROWS) if _TILE_ROWS == 32 else _TILE_ROWS
 
 
 def fused_inverse_body(hi, lo, sg, n, qfloat_len, qfloat_ints, base,
