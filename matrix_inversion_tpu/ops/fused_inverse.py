@@ -43,17 +43,15 @@ from .pair_qfloat import PairQFloat, _sign_arr
 LANES = 128
 SUBLANES = 8
 
-# Rows (of 128 lanes) per kernel launch, re-swept on v5e with the algebraic
-# truncated multiply (High preset, inversions/s; 1M batch n=4, 262k others):
-#   n=4: 16 -> 54.8M, 24 -> 57.0M, 32 -> 61.5M, 40 -> 58.0M, 48 -> 53.7M,
-#        64 -> 57.2M, 128 -> 52.6M
-#   n=3: 32 -> 40.8M, 64 -> 38.1M;  n=5: 16 -> 26.8M, 32 -> 26.2M;
-#   n=2: 32 -> 43.0M, 64 -> 44.2M
-# The optimum shifted down from 64 rows (round-2 sweep, windowed multiply)
-# because the trunc multiply holds more live temporaries per cell; n=6's
-# 2.25x larger live state shrinks it further.
-_TILE_ROWS = 32
-_TILE_ROWS_BY_N = {2: 64, 5: 16, 6: 16}
+# Rows (of 128 lanes) per kernel launch, re-swept on v5e with the
+# single-word floor-correction multiply + one-sided-fixup division (High
+# preset, inversions/s; 1M batch n=4, 262k others):
+#   n=4: 24 -> 61.3M, 32 -> 66.1M, 40 -> 66.9M, 48 -> 63.0M, 64 -> 64.3M,
+#        96 -> 65.2M
+# (previous sweeps: trunc multiply optimum 32 rows at 61.5M, windowed
+# multiply optimum 64 rows at 52.2M — the optimum tracks live-state size)
+_TILE_ROWS = 40
+_TILE_ROWS_BY_N = {2: 48, 3: 32, 5: 16, 6: 16}
 
 
 def set_tile_rows(rows):
@@ -62,7 +60,7 @@ def set_tile_rows(rows):
 
 
 def _default_tile_rows(n):
-    return _TILE_ROWS_BY_N.get(n, _TILE_ROWS) if _TILE_ROWS == 32 else _TILE_ROWS
+    return _TILE_ROWS_BY_N.get(n, _TILE_ROWS) if _TILE_ROWS == 40 else _TILE_ROWS
 
 
 def fused_inverse_body(hi, lo, sg, n, qfloat_len, qfloat_ints, base,

@@ -661,34 +661,36 @@ def set_division_impl(impl):
 def _float_div_chunk_bits(n_bits, divisor_bits):
     """Quotient bits per float-assisted step, or 0 if inapplicable.
 
-    Constraints: q_est < 2**15 keeps the 16-bit-limb partial products of
+    Constraints: q_est < 2**16 keeps the 16-bit-limb partial products of
     ``q_est * divisor`` inside uint32 in the Pallas kernel; the remainder
     ``r < divisor * 2**k`` and the fixup value ``q_est * divisor`` must
-    stay below 2**62 (signed-int64 headroom for the negative-remainder
-    check); and the f32 estimate error ~2**k * 2**-21 must stay well under
-    the +-1 fixup budget (k <= 14 keeps the absolute error < 2**-7, so the
-    floored estimate is off by at most one integer boundary).
+    stay below 2**62 (signed-int64 headroom in the XLA path); and the
+    downward-biased estimate's deficit 2**k * eps (eps < 2**-16, see
+    pair_math.div_float) must stay under 1 so a single add-back fixup is
+    enough — k <= 15 keeps it < 1/2.
     """
     if divisor_bits is None:
         return 0
-    k = min(14, 61 - divisor_bits, n_bits)
+    k = min(15, 61 - divisor_bits, n_bits)
     return k if k >= 4 else 0
 
 
 def _long_division_float(dividend, divisor, n_bits, k):
     """q = dividend // divisor via f32-estimated radix-2**k long division.
 
-    Exact (not approximate): each chunk's f32 quotient estimate is
-    corrected by a +-1 integer fixup round, which covers the worst-case
-    estimate error by a margin of >= 2**7 (see _float_div_chunk_bits).
-    Zero divisors saturate the full n_bits window, digit-exact with the
-    restoring loop (reference base_p_arrays.py:189-201).
+    Exact (not approximate): the loop-invariant reciprocal is DOWNWARD-
+    BIASED by 2**-17, so each chunk's floored estimate is never above the
+    true quotient digit and at most one below it; a single add-back fixup
+    restores exactness (proof note in pair_math.div_float — same bound,
+    same boundary property test).  Zero divisors saturate the full n_bits
+    window, digit-exact with the restoring loop (reference
+    base_p_arrays.py:189-201).
     """
     v = jnp.asarray(dividend, MAG_DTYPE)
     d = jnp.asarray(divisor, MAG_DTYPE)
     is_zero = d == 0
     ds = jnp.where(is_zero, jnp.ones_like(d), d)  # divide by 1, mask later
-    df = ds.astype(jnp.float32)
+    rdf = (1.0 - 2.0 ** -17) / ds.astype(jnp.float32)
 
     n_chunks = -(-n_bits // k)
     first = n_bits - k * (n_chunks - 1)
@@ -701,21 +703,13 @@ def _long_division_float(dividend, divisor, n_bits, k):
         consumed += kc
         chunk = (v >> (n_bits - consumed)) & ((1 << kc) - 1)
         r = (r << kc) | chunk
-        qc = jnp.floor(r.astype(jnp.float32) / df).astype(MAG_DTYPE)
-        qc = jnp.clip(qc, 0, (1 << (kc + 1)) - 1)
+        qc = jnp.floor(r.astype(jnp.float32) * rdf).astype(MAG_DTYPE)
+        qc = jnp.clip(qc, 0, (1 << kc) - 1)
         rem = r - qc * ds
-        # one round per direction suffices: |q_est - r/d| < 2**14 * 2**-21
-        # (q_true < 2**k <= 2**14, f32 rounding error ~2**-21 relative), so
-        # the floored estimate is off by at most one integer boundary — see
-        # the proof note in pair_math.div_float (same bound, same test)
-        for _ in range(1):  # estimate one too high: remainder negative
-            neg = rem < 0
-            qc = qc - neg.astype(MAG_DTYPE)
-            rem = rem + jnp.where(neg, ds, jnp.zeros_like(ds))
-        for _ in range(1):  # estimate one too low: remainder >= divisor
-            ge = rem >= ds
-            qc = qc + ge.astype(MAG_DTYPE)
-            rem = rem - jnp.where(ge, ds, jnp.zeros_like(ds))
+        # estimate never too high (downward bias), at most one too low
+        ge = rem >= ds
+        qc = qc + ge.astype(MAG_DTYPE)
+        rem = rem - jnp.where(ge, ds, jnp.zeros_like(ds))
         r = rem
         q = (q << kc) | qc
     mask = jnp.asarray((1 << n_bits) - 1, MAG_DTYPE)
@@ -852,6 +846,37 @@ def _mul_trunc_packed(au, bu, a_len, a_ints, b_len, b_ints,
     t1 = bits * t_dig
     if t1 <= 0:
         return ((au * bu) << jnp.uint64(-t1)) & out_mask
+    # Single-word floor correction (see pair_math.mul_truncated for the
+    # derivation and gates): out = ((a*b - C) >> t1) & out_mask with C
+    # accumulated carry-free in ONE uint32 word — the per-digit floors
+    # never touch 64-bit arithmetic at all.
+    nt = min(t_dig, a_len)
+    if (
+        0 < t1 <= 32
+        and nt > 0
+        and t1 + bits + nt.bit_length() <= 32
+        and t1 + bits * newlength <= 64
+    ):
+        mask32 = jnp.uint32((1 << t1) - 1)
+        bm32 = jnp.uint32((1 << bits) - 1)
+        alo = au.astype(jnp.uint32)
+        blo_t = bu.astype(jnp.uint32) & mask32
+        terms = []
+        for p in range(nt):
+            sh = bits * p
+            d = (alo >> jnp.uint32(sh)) & bm32
+            w = (blo_t << jnp.uint32(sh)) & mask32 if sh else blo_t
+            if bits == 1:
+                terms.append(w & (jnp.uint32(0) - d))
+            else:
+                terms.append(d * w)
+        while len(terms) > 1:
+            terms = [
+                terms[i] + terms[i + 1] if i + 1 < len(terms) else terms[i]
+                for i in range(0, len(terms), 2)
+            ]
+        acc = (au * bu) - terms[0].astype(jnp.uint64)
+        return (acc >> jnp.uint64(t1)) & out_mask
     acc = (au >> jnp.uint64(t1)) * bu
     for p in range(max(0, t_dig - b_len + 1), min(t_dig, a_len)):
         w = bu >> jnp.uint64(bits * (t_dig - p))

@@ -140,16 +140,20 @@ def to_f32(hi, lo):
     )
 
 
-def div_float(vhi, vlo, dhi, dlo, n_bits: int, k: int):
-    """q = v // d via radix-2**k long division, f32 estimate + exact fixups.
+def div_float(vhi, vlo, dhi, dlo, n_bits: int, k: int, d_bits: int = None):
+    """q = v // d via radix-2**k long division, f32 estimate + exact fixup.
 
     Pair form of ``ops.packed._long_division_float`` — EXACT, not
-    approximate: each chunk's f32 quotient estimate is corrected by +-1
-    integer fixup round (the estimate error is < 2**-7 absolute, so the
-    floor crosses at most one integer boundary — proof note inline below;
-    see also ``ops.packed._float_div_chunk_bits``).  Zero divisors
-    saturate the full n_bits window, digit-exact with the restoring loop
-    (reference base_p_arrays.py:189-201).
+    approximate.  The reciprocal is loop-invariant (one f32 divide total)
+    and DOWNWARD-BIASED by 2**-17, so the chunk estimate is provably never
+    above the true quotient digit and at most one below it (proof note
+    inline); a single add-back fixup round restores exactness.  Zero
+    divisors saturate the full n_bits window, digit-exact with the
+    restoring loop (reference base_p_arrays.py:189-201).
+
+    ``d_bits``: static upper bound on the divisor width; prunes the
+    statically-zero 16-bit divisor limbs from the ``q_est * divisor``
+    partial products.
     """
     zero = jnp.zeros_like(vhi)
 
@@ -158,12 +162,21 @@ def div_float(vhi, vlo, dhi, dlo, n_bits: int, k: int):
     # operands: scalar where operands become closed_calls Mosaic cannot
     # lower)
     dslo = jnp.where(is_zero, jnp.ones_like(dlo), dlo)
-    df = to_f32(dhi, dslo)
-    # 16-bit limbs of the divisor for the q_est * divisor partial products
+    # loop-invariant biased reciprocal: the 1 - 2**-17 factor dominates the
+    # <= ~4 rounding errors (each <= ~2**-23: two to_f32 adds, the divide,
+    # the per-chunk multiply), so the total relative error is in
+    # (2**-18, 2**-16) and ALWAYS downward
+    rdf = (1.0 - 2.0 ** -17) / to_f32(dhi, dslo)
+    # 16-bit limbs of the divisor for the q_est * divisor partial products;
+    # limbs above d_bits are statically zero and skipped
+    use_d2 = d_bits is None or d_bits > 32
+    use_d3 = d_bits is None or d_bits > 48
     d0 = dslo & _U32(0xFFFF)
     d1 = dslo >> _U32(16)
-    d2 = dhi & _U32(0xFFFF)
-    d3 = dhi >> _U32(16)
+    if use_d2:
+        d2 = dhi & _U32(0xFFFF) if use_d3 else dhi
+    if use_d3:
+        d3 = dhi >> _U32(16)
 
     rhi, rlo = zero, zero
     qhi, qlo = zero, zero
@@ -178,44 +191,41 @@ def div_float(vhi, vlo, dhi, dlo, n_bits: int, k: int):
         rhi, rlo = shl(rhi, rlo, kc)
         rlo = rlo | chunk
 
-        qc = jnp.floor(to_f32(rhi, rlo) / df).astype(jnp.int32)
-        qc = jnp.minimum(jnp.maximum(qc, 0), (1 << (kc + 1)) - 1).astype(_U32)
+        qc = jnp.floor(to_f32(rhi, rlo) * rdf).astype(jnp.int32)
+        qc = jnp.minimum(jnp.maximum(qc, 0), (1 << kc) - 1).astype(_U32)
 
-        # qd = qc * ds, 16-bit-limb partial products (all < 2**31)
+        # qd = qc * ds, 16-bit-limb partial products (all < 2**32: qc and
+        # each limb are < 2**16)
         p1s = (qc * d1) << _U32(16)
         qdlo = qc * d0 + p1s
         carry = (qdlo < p1s).astype(_U32)
-        qdhi = ((qc * d1) >> _U32(16)) + qc * d2 + ((qc * d3) << _U32(16)) + carry
+        qdhi = ((qc * d1) >> _U32(16)) + carry
+        if use_d2:
+            qdhi = qdhi + qc * d2
+        if use_d3:
+            qdhi = qdhi + ((qc * d3) << _U32(16))
 
-        # rem = r - qd
+        # rem = r - qd  (never negative: the biased estimate cannot exceed
+        # the true digit)
         borrow = (rlo < qdlo).astype(_U32)
         remlo = rlo - qdlo
         remhi = rhi - qdhi - borrow
 
-        # ONE fixup round per direction is provably enough: q_true < 2**kc
-        # <= 2**14 (the incoming remainder is < divisor, so r < d * 2**kc),
-        # and the estimate's total relative error is <= ~2**-21 (to_f32 is
-        # two rounded f32 adds per operand, the divide rounds once), so
-        # |q_est - r/d| < 2**14 * 2**-21 = 2**-7 — the floor can land on
-        # q_true - 1 or q_true + 1 only by crossing one integer boundary,
-        # never two.  Property-tested exhaustively around floor boundaries
-        # in tests/test_pair_qfloat.py::test_div_float_fixup_bound.
-        for _ in range(1):  # estimate one too high: remainder negative
-            neg = remhi >> _U32(31)  # sign bit (|rem| < 2**62)
-            m = _U32(0) - neg
-            qc = qc - neg
-            alo = dslo & m
-            nl = remlo + alo
-            remhi = remhi + (dhi & m) + (nl < alo).astype(_U32)
-            remlo = nl
-        for _ in range(1):  # estimate one too low: remainder >= divisor
-            geq = ((remhi > dhi) | ((remhi == dhi) & (remlo >= dslo))).astype(_U32)
-            m = _U32(0) - geq
-            qc = qc + geq
-            slo = dslo & m
-            b = (remlo < slo).astype(_U32)
-            remlo = remlo - slo
-            remhi = remhi - (dhi & m) - b
+        # ONE add-back round is provably enough: the true digit q_true =
+        # floor(r/d) < 2**kc <= 2**15 (incoming remainder < divisor, so
+        # r < d * 2**kc), and the estimate is r/d * (1 - eps) with eps in
+        # (2**-18, 2**-16) — strictly positive, so floor(est) <= q_true;
+        # and the deficit r/d * eps < 2**15 * 2**-16 < 1/2, so floor(est)
+        # >= q_true - 1.  Exactly one `rem >= d` check/add-back lands the
+        # remainder in [0, d).  Property-tested exhaustively around floor
+        # boundaries in tests/test_pair_qfloat.py::test_div_float_fixup_bound.
+        geq = ((remhi > dhi) | ((remhi == dhi) & (remlo >= dslo))).astype(_U32)
+        m = _U32(0) - geq
+        qc = qc + geq
+        slo = dslo & m
+        b = (remlo < slo).astype(_U32)
+        remlo = remlo - slo
+        remhi = remhi - (dhi & m) - b
 
         rhi, rlo = remhi, remlo
         qhi, qlo = shl(qhi, qlo, kc)
@@ -341,6 +351,51 @@ def mul_truncated(ahi, alo, bhi, blo, a_len: int, a_ints: int, b_len: int,
     if t1 <= 0:
         hi, lo = mul_wide(ahi, alo, bhi, blo, a_bits, b_bits)
         hi, lo = shl(hi, lo, -t1)
+        return and_const(hi, lo, out_mask)
+
+    # Fast path: single-word floor correction.  The floored-digit sum
+    # factors one step further (validated digit-exactly against the
+    # windowed form across random formats, tests/test_pair_qfloat.py):
+    #
+    #   sum_p a_p * floor(b / 2**tau_p) = (A_low * b - C) >> t1   with
+    #   C = sum_p a_p * 2**(bits*p) * (b mod 2**tau_p),  A_low = a mod 2**t1
+    #
+    # (each p-term of A_low*b - C carries the factor 2**tau_p * 2**(bits*p)
+    # = 2**t1, so the shift is exact), and folding S1 = (a >> t1) * b back
+    # in gives   out = ((a*b - C) >> t1) & out_mask   in ONE wide multiply.
+    # Every C term is (b*2**sh mod 2**t1) masked/scaled by a digit, i.e.
+    # < base * 2**t1 — so when t1 + bits + log2(#terms) <= 32 the WHOLE
+    # correction accumulates in one uint32 word with no carry chains at
+    # all.  Needs the output window below 2**64: t1 + bits*newlength <= 64.
+    nt = min(t_dig, a_len)
+    if (
+        0 < t1 <= 32
+        and nt > 0
+        and t1 + bits + nt.bit_length() <= 32
+        and t1 + bits * newlength <= 64
+    ):
+        mask_t1 = _U32((1 << t1) - 1)
+        blo_t = blo & mask_t1  # t1 <= 32: b's floored bits live in lo
+        terms = []
+        for p in range(nt):
+            sh = bits * p  # sh < t1 <= 32: digits of a come from alo
+            d = (alo >> _U32(sh)) & base_mask
+            w = (blo_t << _U32(sh)) & mask_t1 if sh else blo_t
+            if bits == 1:
+                terms.append(w & (_U32(0) - d))
+            else:
+                terms.append(d * w)
+        while len(terms) > 1:  # balanced tree: same op count, log depth
+            terms = [
+                terms[i] + terms[i + 1] if i + 1 < len(terms) else terms[i]
+                for i in range(0, len(terms), 2)
+            ]
+        C = terms[0]
+        hi, lo = mul_wide(ahi, alo, bhi, blo, a_bits, b_bits)
+        borrow = (lo < C).astype(_U32)
+        lo = lo - C
+        hi = hi - borrow
+        hi, lo = shr(hi, lo, t1)
         return and_const(hi, lo, out_mask)
 
     # S1: all digits p with bits*p >= t1, one multiply (a >> t1 drops the

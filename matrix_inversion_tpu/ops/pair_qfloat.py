@@ -383,7 +383,10 @@ class PairQFloat(QFloatBase):
         n_bits = self._bits * n_digits
         k = _float_div_chunk_bits(n_bits, self._bits * self._length)
         if k > 0:
-            return pm.div_float(divh, divl, self._hi, self._lo, n_bits, k)
+            return pm.div_float(
+                divh, divl, self._hi, self._lo, n_bits, k,
+                d_bits=self._bits * self._length,
+            )
         return pm.div_classic(divh, divl, self._hi, self._lo, n_digits, self._bits)
 
     def __itruediv__(self, other):

@@ -173,8 +173,97 @@ def flagship_roofline(
     return out
 
 
+def kernel_op_histogram(n: int = 4, preset: str = "high", rows: int = 8):
+    """Primitive histogram of the ACTUAL fused-kernel body, per inversion.
+
+    The packed-circuit count above models the XLA int64 lowerings; the
+    fused Pallas kernel executes a different program — the uint32 pair
+    form (ops/pair_math.py).  This traces ``fused_inverse_body`` (pure
+    jnp) and counts each ALU primitive's per-element ops per inversion,
+    giving both the true instruction mix (what to optimize next) and the
+    numerator for a measured-rate roofline (see ``kernel_roofline``).
+    """
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from ..config import PRESETS
+    from ..ops.fused_inverse import LANES, fused_inverse_body
+
+    p = PRESETS[preset].replace(n=n)
+    n2 = n * n
+    elems = rows * LANES
+
+    def fn(hi, lo, sg):
+        return fused_inverse_body(
+            [hi[i] for i in range(n2)],
+            [lo[i] for i in range(n2)],
+            [sg[i] for i in range(n2)],
+            n, p.qfloat_len, p.qfloat_ints, p.qfloat_base, p.true_division,
+        )
+
+    z = jnp.zeros((n2, rows, LANES), jnp.uint32)
+    s = jnp.ones((n2, rows, LANES), jnp.int32)
+    jaxpr = jax.make_jaxpr(fn)(z, z, s)
+
+    hist = {}
+
+    def walk(jx, mult=1.0):
+        for eqn in jx.eqns:
+            prim = eqn.primitive.name
+            if prim == "scan":
+                walk(eqn.params["jaxpr"].jaxpr, mult * eqn.params["length"])
+            elif prim in ("pjit", "closed_call"):
+                inner = eqn.params.get("jaxpr") or eqn.params.get("call_jaxpr")
+                if inner is not None:
+                    walk(inner.jaxpr if hasattr(inner, "jaxpr") else inner,
+                         mult)
+            elif prim in _ALU_PRIMS or prim == "convert_element_type":
+                nel = sum(
+                    float(np.prod(v.aval.shape, dtype=np.float64))
+                    for v in eqn.outvars
+                )
+                hist[prim] = hist.get(prim, 0.0) + mult * nel / elems
+    walk(jaxpr.jaxpr)
+    return dict(sorted(hist.items(), key=lambda kv: -kv[1]))
+
+
+def kernel_roofline(measured_inversions_per_s=None, n=4, preset="high",
+                    measured_rates=None):
+    """Roofline for the fused kernel from its real op histogram.
+
+    ``measured_rates``: {primitive_name: elem-ops/s} measured on-chip with
+    the straight-line Pallas microbenchmark (benchmarks/ubench results);
+    missing primitives fall back to ``"default"``.  Without rates, uses the
+    measured u32 vector-ALU issue rate as a uniform bound.
+    """
+    hist = kernel_op_histogram(n, preset)
+    rates = dict(measured_rates or {})
+    default = rates.pop("default", 1.5e12)  # measured u32 add rate, v5e
+    time_per_inv = sum(
+        cnt / rates.get(prim, default) for prim, cnt in hist.items()
+    )
+    bound = 1.0 / time_per_inv
+    out = {
+        "ops_per_inversion_kernel": round(sum(hist.values()), 1),
+        "kernel_op_histogram": {k: round(v, 1) for k, v in hist.items()},
+        "vpu_issue_rate_measured": default,
+        "roofline_inversions_per_s_measured_rates": round(bound, 1),
+    }
+    if measured_inversions_per_s:
+        out["measured_inversions_per_s"] = measured_inversions_per_s
+        out["mfu_pct_vs_measured_roofline"] = round(
+            100.0 * measured_inversions_per_s / bound, 2
+        )
+    return out
+
+
 if __name__ == "__main__":
     import sys
 
     measured = float(sys.argv[1]) if len(sys.argv) > 1 else None
-    print(json.dumps(flagship_roofline(measured_inversions_per_s=measured)))
+    if len(sys.argv) > 2 and sys.argv[2] == "kernel":
+        print(json.dumps(kernel_roofline(measured_inversions_per_s=measured)))
+    else:
+        print(json.dumps(flagship_roofline(measured_inversions_per_s=measured)))

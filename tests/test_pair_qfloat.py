@@ -211,13 +211,14 @@ def test_div_float_fixup_bound(rng):
     """Exact-division oracle for the float-assisted long division.
 
     Both float-assisted lowerings (ops.packed._long_division_float and
-    pair_math.div_float) use ONE fixup round per direction; this is sound
-    because the f32 quotient estimate's absolute error is < 2**-7 (quotient
-    < 2**14, relative rounding error ~2**-21), so the floored estimate can
-    cross at most one integer boundary.  This test checks both lowerings
-    against Python-int division on adversarial inputs sitting exactly ON
-    floor boundaries (v = q*d, q*d - 1, q*d + d - 1) plus random draws at
-    the full High-preset widths (n_bits=60, divisor < 2**40).
+    pair_math.div_float) use a DOWNWARD-BIASED reciprocal and ONE add-back
+    fixup round; this is sound because the bias (2**-17) dominates the f32
+    rounding errors, so the floored estimate is never above the true
+    quotient digit and (deficit < 2**15 * 2**-16 < 1/2) at most one below
+    it.  This test checks both lowerings against Python-int division on
+    adversarial inputs sitting exactly ON floor boundaries (v = q*d,
+    q*d - 1, q*d + d - 1) plus random draws at the full High-preset widths
+    (n_bits=60, divisor < 2**40).
     """
     import jax.numpy as jnp
 
@@ -229,7 +230,7 @@ def test_div_float_fixup_bound(rng):
 
     n_bits, divisor_bits = 60, 40
     k = _float_div_chunk_bits(n_bits, divisor_bits)
-    assert k == 14
+    assert k == 15
 
     vmax = (1 << n_bits) - 1
     vs, ds = [], []
@@ -260,6 +261,6 @@ def test_div_float_fixup_bound(rng):
 
     vhi, vlo = pm.split64(v64)
     dhi, dlo = pm.split64(d64)
-    qhi, qlo = pm.div_float(vhi, vlo, dhi, dlo, n_bits, k)
+    qhi, qlo = pm.div_float(vhi, vlo, dhi, dlo, n_bits, k, d_bits=divisor_bits)
     got_pair = np.asarray(pm.join64(qhi, qlo)).astype(np.int64)
     np.testing.assert_array_equal(got_pair, expected)
