@@ -24,9 +24,10 @@ import pytest  # noqa: E402
 def pytest_collection_modifyitems(config, items):
     """Two-tier suite: everything not marked ``slow`` is the core tier.
 
-    ``pytest -m core`` = fast semantics/parity tier (<2 min);
-    ``pytest -m slow`` = compile-heavy lowering/inverse cases (nightly);
-    plain ``pytest`` still runs everything.
+    ``pytest -m core`` = fast semantics/parity tier (~3-5 min (warm XLA cache,
+    longer cold);
+    ``pytest -m slow`` = compile-heavy lowering/inverse/differential
+    sweeps (nightly); plain ``pytest`` still runs everything.
     """
     for item in items:
         if "slow" not in item.keywords:

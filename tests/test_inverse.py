@@ -79,7 +79,7 @@ def test_inverse_4x4_high_packed(rng):
     assert np.max(err) < 1e-3
 
 
-@pytest.mark.parametrize("n", [2, 3])
+@pytest.mark.parametrize("n", [2, pytest.param(3, marks=pytest.mark.slow)])
 def test_backend_parity_full_circuit(rng, n):
     """The packed and limb backends produce bit-identical circuit outputs."""
     B = 4
@@ -90,6 +90,7 @@ def test_backend_parity_full_circuit(rng, n):
     np.testing.assert_array_equal(out_limb, out_packed)
 
 
+@pytest.mark.slow
 def test_backend_parity_true_division(rng):
     B = 2
     M = rng.randn(B, 3, 3) * 100

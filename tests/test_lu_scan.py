@@ -46,8 +46,14 @@ def _quantized(rng, B, n, L, I, scale):
     return M, jnp.asarray(mags), jnp.asarray(signs)
 
 
+# core tier: the smallest case per lowering; the full CASES sweep is slow
+_CASES_TIERED = [CASES[0]] + [
+    pytest.param(*c, marks=pytest.mark.slow) for c in CASES[1:]
+]
+
+
 @pytest.mark.parametrize("style", sorted(LOWERINGS))
-@pytest.mark.parametrize("n,L,I,td,scale", CASES)
+@pytest.mark.parametrize("n,L,I,td,scale", _CASES_TIERED)
 def test_scan_bit_exact_vs_unrolled(rng, n, L, I, td, scale, style):
     fn = LOWERINGS[style]
     _, mags, signs = _quantized(rng, 24, n, L, I, scale)
@@ -61,6 +67,7 @@ def test_scan_bit_exact_vs_unrolled(rng, n, L, I, td, scale, style):
     np.testing.assert_array_equal(np.asarray(us), np.asarray(ss))
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("style", sorted(LOWERINGS))
 @pytest.mark.parametrize("n,L,I,td,scale", CASES)
 def test_scan_overflow_flags_match(rng, n, L, I, td, scale, style):
@@ -79,6 +86,7 @@ def test_scan_overflow_flags_match(rng, n, L, I, td, scale, style):
     np.testing.assert_array_equal(np.asarray(uf), np.asarray(sf))
 
 
+@pytest.mark.slow
 def test_scan_large_n_compiles_and_inverts(rng):
     # the whole point of the scanned lowering: large n compiles in seconds
     n, L, I = 8, 40, 20
@@ -93,6 +101,7 @@ def test_scan_large_n_compiles_and_inverts(rng):
     assert np.max(np.abs(inv - np.linalg.inv(M))) < 1e-2
 
 
+@pytest.mark.slow
 def test_auto_lowering_routes_large_n(rng):
     # packed_io with default lowering routes n=9..12 to the vec path and
     # n>12 to the scanned path; results must match the explicit calls
@@ -115,6 +124,7 @@ def test_auto_lowering_routes_large_n(rng):
     np.testing.assert_array_equal(np.asarray(asg), np.asarray(ss))
 
 
+@pytest.mark.slow
 def test_scan_digits_io_parity(rng):
     # the digits-I/O circuit body also routes through the scanned lowering
     # (packs digits -> magnitudes -> scan -> unpack) and must be
@@ -140,6 +150,7 @@ def test_scan_digits_io_parity(rng):
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
 def test_scan_via_batched_api(rng):
     from matrix_inversion_tpu.config import MEDIUM
     from matrix_inversion_tpu.runtime.api import BatchedMatrixInversion
@@ -157,6 +168,7 @@ def test_scan_via_batched_api(rng):
     np.testing.assert_array_equal(out, ref.run(M))
 
 
+@pytest.mark.slow
 def test_scan_under_batch_sharding(rng):
     from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 

@@ -35,10 +35,11 @@ def run(M, params, vectorize_rows, tensorize=False):
 
 @pytest.mark.parametrize("n,params,tensorize", [
     (3, LOW, False),
-    (4, HIGH, False),
-    (5, LOW, False),
-    (3, LOW.replace(true_division=True), False),
-    (4, HIGH, True),
+    pytest.param(4, HIGH, False, marks=pytest.mark.slow),
+    pytest.param(5, LOW, False, marks=pytest.mark.slow),
+    pytest.param(3, LOW.replace(true_division=True), False,
+                 marks=pytest.mark.slow),
+    pytest.param(4, HIGH, True, marks=pytest.mark.slow),
 ])
 def test_vec_matches_per_row(rng, n, params, tensorize):
     p = params.replace(n=n)

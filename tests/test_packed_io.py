@@ -10,7 +10,10 @@ from matrix_inversion_tpu.models import marshal
 from matrix_inversion_tpu.runtime.api import BatchedMatrixInversion
 
 
-@pytest.mark.parametrize("n,params", [(2, LOW), (3, LOW), (4, HIGH)])
+@pytest.mark.parametrize(
+    "n,params",
+    [(2, LOW), (3, LOW), pytest.param(4, HIGH, marks=pytest.mark.slow)],
+)
 def test_packed_io_matches_digit_io(rng, n, params):
     p = params.replace(n=n)
     B = 8

@@ -84,7 +84,9 @@ def test_from_mul_crop_parity(rng, fmt):
     assert_same(QFloat.from_mul(l1, l2, nl, ni), PackedQFloat.from_mul(p1, p2, nl, ni))
 
 
-@pytest.mark.parametrize("base", [2, 4])
+@pytest.mark.parametrize(
+    "base", [2, pytest.param(4, marks=pytest.mark.slow)]
+)
 def test_div_parity(rng, base):
     # base 4 at full width would need a >62-bit dividend; use a narrower
     # encoding there (the auto backend select makes the same decision)
@@ -95,6 +97,7 @@ def test_div_parity(rng, base):
     assert_same(l1 / SignedBinary(-1), p1 / SignedBinary(-1))
 
 
+@pytest.mark.slow
 def test_div_by_zero_parity(rng):
     # force zero divisors: saturation must match digit for digit
     d1 = rng.randint(0, 2, size=(8, 23))
@@ -109,7 +112,10 @@ def test_div_by_zero_parity(rng):
 
 
 @pytest.mark.parametrize(
-    "fmt", [(23, 9, 23, 0), (23, 9, 23, 9), (23, 9, 31, 12), (23, 9, 12, 3)]
+    "fmt",
+    [(23, 9, 23, 0)]
+    + [pytest.param(f, marks=pytest.mark.slow)
+       for f in [(23, 9, 23, 9), (23, 9, 31, 12), (23, 9, 12, 3)]],
 )
 def test_invert_parity(rng, fmt):
     length, ints, nl, ni = fmt

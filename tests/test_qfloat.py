@@ -121,7 +121,11 @@ def test_mul(rng, cls):
     )
 
 
-@pytest.mark.parametrize("cls", BACKENDS)
+@pytest.mark.parametrize(
+    "cls",
+    [pytest.param(BACKENDS[0], id="QFloat", marks=pytest.mark.slow),
+     BACKENDS[1]],
+)
 def test_div(rng, cls):
     ints = 12
     f1 = (rng.randint(0, 200, size=100) - 100) / 10.0

@@ -109,10 +109,24 @@ CONFIGS = [  # (length, ints, base)
 ]
 
 
+def test_differential_smoke_core(rng):
+    """Core-tier smoke: digit-for-digit diff vs the live reference for the
+    hot ops (add/mul/div) at the base-2 Low format, packed backend.  The
+    exhaustive per-op and per-config sweeps live in the slow tier below."""
+    length, ints, base = 23, 9, 2
+    scale = float(base) ** (ints // 2 - 1)
+    _, r1, _, p1 = _batch(rng, length, ints, base, scale=scale)
+    _, r2, _, p2 = _batch(rng, length, ints, base, scale=scale, nonzero=True)
+    assert_matches_refs([x + y for x, y in zip(r1, r2)], p1 + p2, "smoke add")
+    assert_matches_refs([x * y for x, y in zip(r1, r2)], p1 * p2, "smoke mul")
+    assert_matches_refs([x / y for x, y in zip(r1, r2)], p1 / p2, "smoke div")
+
+
 # ---------------------------------------------------------------------------
 # L1: limb kernels, function-level differential (batched vs looped reference)
 # ---------------------------------------------------------------------------
 
+@pytest.mark.slow
 class TestLimbKernels:
     @pytest.mark.parametrize("base", [2, 4, 16])
     @pytest.mark.parametrize("la,lb", [(8, 8), (11, 6), (5, 9)])
@@ -171,6 +185,7 @@ class TestLimbKernels:
 # L2: QFloat operator-level differential (both backends vs live reference)
 # ---------------------------------------------------------------------------
 
+@pytest.mark.slow
 class TestQFloatOps:
     @pytest.mark.parametrize("length,ints,base", CONFIGS)
     def test_from_float_to_float_to_str(self, rng, length, ints, base):
@@ -455,19 +470,24 @@ class TestWholeInverseDifferential:
     def test_n2_low_unroll(self, rng):
         _diff_inverse(rng, 2, "low", 16, "unroll")
 
+    @pytest.mark.slow
     def test_n2_high_unroll(self, rng):
         _diff_inverse(rng, 2, "high", 16, "unroll")
 
+    @pytest.mark.slow
     def test_n3_low_unroll(self, rng):
         # ties scan-lowering transitivity to a direct unrolled-object diff
         _diff_inverse(rng, 3, "low", 8, "unroll")
 
+    @pytest.mark.slow
     def test_n3_high_scan(self, rng):
         _diff_inverse(rng, 3, "high", 16, "scan")
 
+    @pytest.mark.slow
     def test_n4_high_scan(self, rng):
         _diff_inverse(rng, 4, "high", 16, "scan")
 
+    @pytest.mark.slow
     def test_n2_low_limb_backend(self, rng):
         _diff_inverse(rng, 2, "low", 4, "unroll", backend="limb")
 

@@ -60,6 +60,7 @@ def test_shard_map_stats(rng):
     assert np.asarray(out).shape == (16, 9, p.qfloat_len + 1)
 
 
+@pytest.mark.slow
 def test_cell_sharded_pipeline(rng):
     p = LOW.replace(n=4)  # 16 cells, divisible by the cell axis
     M, d, s = _inputs(rng, p, 8)
