@@ -846,37 +846,14 @@ def _mul_trunc_packed(au, bu, a_len, a_ints, b_len, b_ints,
     t1 = bits * t_dig
     if t1 <= 0:
         return ((au * bu) << jnp.uint64(-t1)) & out_mask
-    # Single-word floor correction (see pair_math.mul_truncated for the
-    # derivation and gates): out = ((a*b - C) >> t1) & out_mask with C
-    # accumulated carry-free in ONE uint32 word — the per-digit floors
-    # never touch 64-bit arithmetic at all.
-    nt = min(t_dig, a_len)
-    if (
-        0 < t1 <= 32
-        and nt > 0
-        and t1 + bits + nt.bit_length() <= 32
-        and t1 + bits * newlength <= 64
-    ):
-        mask32 = jnp.uint32((1 << t1) - 1)
-        bm32 = jnp.uint32((1 << bits) - 1)
-        alo = au.astype(jnp.uint32)
-        blo_t = bu.astype(jnp.uint32) & mask32
-        terms = []
-        for p in range(nt):
-            sh = bits * p
-            d = (alo >> jnp.uint32(sh)) & bm32
-            w = (blo_t << jnp.uint32(sh)) & mask32 if sh else blo_t
-            if bits == 1:
-                terms.append(w & (jnp.uint32(0) - d))
-            else:
-                terms.append(d * w)
-        while len(terms) > 1:
-            terms = [
-                terms[i] + terms[i + 1] if i + 1 < len(terms) else terms[i]
-                for i in range(0, len(terms), 2)
-            ]
-        acc = (au * bu) - terms[0].astype(jnp.uint64)
-        return (acc >> jnp.uint64(t1)) & out_mask
+    # NOTE: the single-word floor-correction form (pair_math.mul_truncated:
+    # out = ((a*b - C) >> t1) & mask, C in one uint32) was measured HERE
+    # and REJECTED for the XLA path: same-day v5e A/B on the n=4 High
+    # unroll lowering gave 28.3M -> 14.6M inversions/s — the uint64<->
+    # uint32 dtype boundary appears to break XLA's elementwise fusion and
+    # the HBM-bound path pays a materialization per boundary.  Inside the
+    # fused Pallas kernel (everything register/VMEM-resident) the same
+    # form is a clear win and is used by pair_math.
     acc = (au >> jnp.uint64(t1)) * bu
     for p in range(max(0, t_dig - b_len + 1), min(t_dig, a_len)):
         w = bu >> jnp.uint64(bits * (t_dig - p))
