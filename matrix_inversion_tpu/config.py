@@ -114,6 +114,32 @@ class QFloatParams:
         ]
 
 
+def knob_state() -> tuple:
+    """Current values of every module-global performance knob.
+
+    The lowering knobs (`set_mul_group`, `set_pallas_division`,
+    `set_mul_impl`, `set_tile_rows`, ...) change the TRACED program, so any
+    compiled-circuit memoization must key on them — otherwise flipping a
+    knob between two API constructions silently returns the program compiled
+    under the old knob values (results are bit-identical either way, but A/B
+    perf sweeps would measure nothing).  runtime/api.py includes this tuple
+    in its jit/AOT cache keys; changing any knob therefore retraces.
+    """
+    from .ops import fused_inverse, packed, pair_qfloat, pallas_kernels
+
+    return (
+        packed._PALLAS_DIVISION,
+        packed._PALLAS_MUL,
+        packed._DIVISION_IMPL,
+        packed._MUL_SCAN,
+        packed._MUL_GROUP,
+        packed._MUL_TRUNC,
+        pallas_kernels._DIVISION_TILE_ROWS,
+        pair_qfloat._MUL_IMPL,
+        fused_inverse._TILE_ROWS_OVERRIDE,
+    )
+
+
 # Precision presets (reference README.md:107-116, main.py:135-155).
 LOW = QFloatParams(qfloat_len=23, qfloat_ints=9, true_division=False)
 MEDIUM = QFloatParams(qfloat_len=31, qfloat_ints=16, true_division=False)

@@ -50,17 +50,24 @@ SUBLANES = 8
 #        96 -> 65.2M
 # (previous sweeps: trunc multiply optimum 32 rows at 61.5M, windowed
 # multiply optimum 64 rows at 52.2M — the optimum tracks live-state size)
-_TILE_ROWS = 40
+_TILE_ROWS_DEFAULT = 40
 _TILE_ROWS_BY_N = {2: 48, 3: 32, 5: 16, 6: 16}
+# explicit user override (set_tile_rows); None = use the per-n table above.
+# A separate flag (not a sentinel value) so set_tile_rows(40) really forces
+# 40 rows for every n instead of silently re-enabling the per-n defaults.
+_TILE_ROWS_OVERRIDE = None
 
 
 def set_tile_rows(rows):
-    global _TILE_ROWS
-    _TILE_ROWS = int(rows)
+    """Force the kernel batch tile to ``rows`` (None = per-n defaults)."""
+    global _TILE_ROWS_OVERRIDE
+    _TILE_ROWS_OVERRIDE = None if rows is None else int(rows)
 
 
 def _default_tile_rows(n):
-    return _TILE_ROWS_BY_N.get(n, _TILE_ROWS) if _TILE_ROWS == 40 else _TILE_ROWS
+    if _TILE_ROWS_OVERRIDE is not None:
+        return _TILE_ROWS_OVERRIDE
+    return _TILE_ROWS_BY_N.get(n, _TILE_ROWS_DEFAULT)
 
 
 def fused_inverse_body(hi, lo, sg, n, qfloat_len, qfloat_ints, base,

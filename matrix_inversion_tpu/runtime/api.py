@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import QFloatParams
+from ..config import QFloatParams, knob_state
 from ..models.inverse import qfloat_matrix_inverse
 from ..models.marshal import (
     float_matrix_to_qfloat_arrays,
@@ -36,10 +36,17 @@ from ..models.marshal import (
 )
 
 
-@functools.lru_cache(maxsize=128)
 def _circuit_fn(params: QFloatParams, backend: str, io: str):
-    """Shared circuit body per (params, backend, io) — one jit entry per
-    configuration regardless of how many API objects are constructed."""
+    """Shared circuit body per (params, backend, io, perf knobs) — one jit
+    entry per configuration regardless of how many API objects are
+    constructed.  The perf-knob state is part of the key so flipping a knob
+    (``set_mul_group``, ``set_tile_rows``, ...) retraces instead of silently
+    reusing the program compiled under the old knob values."""
+    return _circuit_fn_cached(params, backend, io, knob_state())
+
+
+@functools.lru_cache(maxsize=128)
+def _circuit_fn_cached(params: QFloatParams, backend: str, io: str, knobs):
     p = params
     if io == "packed":
         from ..models.inverse import qfloat_matrix_inverse_packed_io
@@ -67,14 +74,27 @@ def _circuit_fn(params: QFloatParams, backend: str, io: str):
     )
 
 
-@functools.lru_cache(maxsize=128)
 def _jitted_circuit(params: QFloatParams, backend: str, io: str):
-    return jax.jit(_circuit_fn(params, backend, io))
+    return _jitted_circuit_cached(params, backend, io, knob_state())
 
 
 @functools.lru_cache(maxsize=128)
+def _jitted_circuit_cached(params: QFloatParams, backend: str, io: str, knobs):
+    return jax.jit(_circuit_fn_cached(params, backend, io, knobs))
+
+
 def _compiled_circuit(params: QFloatParams, backend: str, io: str, batch_shape):
-    """AOT-compiled executable, memoized per configuration and batch shape."""
+    return _compiled_circuit_cached(
+        params, backend, io, batch_shape, knob_state()
+    )
+
+
+@functools.lru_cache(maxsize=128)
+def _compiled_circuit_cached(
+    params: QFloatParams, backend: str, io: str, batch_shape, knobs
+):
+    """AOT-compiled executable, memoized per configuration, batch shape, and
+    perf-knob state (see ``_circuit_fn``)."""
     p = params
     if io == "packed":
         arg0 = jax.ShapeDtypeStruct(batch_shape + (p.n * p.n,), jnp.int64)
@@ -84,7 +104,11 @@ def _compiled_circuit(params: QFloatParams, backend: str, io: str, batch_shape):
             batch_shape + (p.n * p.n, p.qfloat_len), jnp.int64
         )
         arg1 = jax.ShapeDtypeStruct(batch_shape + (p.n * p.n,), jnp.int64)
-    return _jitted_circuit(params, backend, io).lower(arg0, arg1).compile()
+    return (
+        _jitted_circuit_cached(params, backend, io, knobs)
+        .lower(arg0, arg1)
+        .compile()
+    )
 
 
 class EncryptedMatrixInversion:

@@ -17,10 +17,12 @@ Cost model:
 * data movement (reshape/broadcast/slice/concat/convert/gather) costs 0 —
   this is an ALU roofline, not a bandwidth roofline.
 
-VPU bound (defaults, TPU v5e): the VPU datapath is (8, 128) lanes with 4
-independent ALUs per lane position at ~940 MHz =>
-8*128*4*0.94e9 ~= 3.85e12 u32 ops/s/chip (see the public "How to Scale
-Your Model" TPU chapter for the VPU shape; the clock is the v5e spec).
+VPU bound: the default is the MEASURED v5e u32 issue rate (1.5e12
+elem-ops/s, benchmarks/ubench_vpu.py — straight-line Pallas chains, launch
+cost differenced out).  The old theoretical 4-ALU figure (8*128*4*0.94e9
+~= 3.85e12) was shown unachievable by those microbenchmarks (the measured
+best-mix rate is ~2.5e12) and is retired; pass ``vpu_ops_per_s``
+explicitly to analyze against a different bound.
 """
 
 from __future__ import annotations
@@ -120,15 +122,22 @@ def count_u32_ops(fn, *example_args, realistic: bool = False) -> float:
     return _count_jaxpr(jaxpr.jaxpr, realistic)
 
 
+#: measured v5e u32 vector-ALU issue rate (benchmarks/ubench_vpu.py); the
+#: single source for every default roofline bound in this module
+MEASURED_U32_RATE_V5E = 1.5e12
+
+
 def flagship_roofline(
     batch: int = None,
     measured_inversions_per_s: float = None,
-    vpu_ops_per_s: float = 8 * 128 * 4 * 0.94e9,
+    vpu_ops_per_s: float = MEASURED_U32_RATE_V5E,
 ):
     """Ops/inversion + roofline for the flagship n=4 High packed circuit.
 
     Returns a dict with ops_per_inversion, the VPU-bound inversions/s, and
-    (when a measured rate is given) the achieved MFU fraction.
+    (when a measured rate is given) the achieved MFU fraction.  The default
+    bound is the MEASURED v5e issue rate, not the discredited theoretical
+    3.85e12 4-ALU figure (see module docstring).
     """
     import functools
 
@@ -183,8 +192,6 @@ def kernel_op_histogram(n: int = 4, preset: str = "high", rows: int = 8):
     giving both the true instruction mix (what to optimize next) and the
     numerator for a measured-rate roofline (see ``kernel_roofline``).
     """
-    import functools
-
     import jax
     import jax.numpy as jnp
 
@@ -240,7 +247,8 @@ def kernel_roofline(measured_inversions_per_s=None, n=4, preset="high",
     """
     hist = kernel_op_histogram(n, preset)
     rates = dict(measured_rates or {})
-    default = rates.pop("default", 1.5e12)  # measured u32 add rate, v5e
+    has_default = "default" in rates
+    default = rates.pop("default", MEASURED_U32_RATE_V5E)
     time_per_inv = sum(
         cnt / rates.get(prim, default) for prim, cnt in hist.items()
     )
@@ -248,7 +256,14 @@ def kernel_roofline(measured_inversions_per_s=None, n=4, preset="high",
     out = {
         "ops_per_inversion_kernel": round(sum(hist.values()), 1),
         "kernel_op_histogram": {k: round(v, 1) for k, v in hist.items()},
-        "vpu_issue_rate_measured": default,
+        "vpu_issue_rate": default,
+        # honest provenance: the fallback is a v5e constant measured by
+        # benchmarks/ubench_vpu.py on THIS project's chip, not something
+        # measured on the caller's platform unless they passed rates in
+        "rate_source": (
+            "measured" if (measured_rates and (rates or has_default))
+            else "default-v5e-ubench"
+        ),
         "roofline_inversions_per_s_measured_rates": round(bound, 1),
     }
     if measured_inversions_per_s:

@@ -88,9 +88,9 @@ def test_op_stats(rng):
     params = LOW.replace(n=3)
     # drop memoized circuits so construction really re-traces (otherwise a
     # test that compiled the same config earlier leaves the counters at 0)
-    api_mod._circuit_fn.cache_clear()
-    api_mod._jitted_circuit.cache_clear()
-    api_mod._compiled_circuit.cache_clear()
+    api_mod._circuit_fn_cached.cache_clear()
+    api_mod._jitted_circuit_cached.cache_clear()
+    api_mod._compiled_circuit_cached.cache_clear()
     QFloatBase.reset_stats()
     B = 2
     binv = BatchedMatrixInversion(params, B, backend="packed")
@@ -124,3 +124,56 @@ def test_single_matrix_packed_io_requires_packed_backend():
 
     with pytest.raises(ValueError, match="packed io requires"):
         EncryptedMatrixInversion(3, backend="limb", io="packed")
+
+
+def test_perf_knobs_invalidate_circuit_cache(rng):
+    """Round-3 verdict weak #4: flipping a perf knob between two API
+    constructions must retrace/recompile instead of silently returning the
+    program compiled under the old knob values (and results must stay
+    bit-identical either way)."""
+    from matrix_inversion_tpu.config import QFloatParams
+    from matrix_inversion_tpu.ops.packed import set_mul_group
+    from matrix_inversion_tpu.runtime.api import (
+        BatchedMatrixInversion,
+        _circuit_fn,
+        _jitted_circuit,
+    )
+
+    params = QFloatParams(n=3, qfloat_len=23, qfloat_ints=9)
+    M = rng.randn(4, 3, 3) * 100
+    try:
+        set_mul_group(2)
+        fn_a = _circuit_fn(params, "packed", "packed")
+        jit_a = _jitted_circuit(params, "packed", "packed")
+        out_a = BatchedMatrixInversion(params, 4, backend="packed",
+                                       io="packed").run(M)
+        set_mul_group(4)
+        fn_b = _circuit_fn(params, "packed", "packed")
+        jit_b = _jitted_circuit(params, "packed", "packed")
+        out_b = BatchedMatrixInversion(params, 4, backend="packed",
+                                       io="packed").run(M)
+        assert fn_a is not fn_b
+        assert jit_a is not jit_b
+        np.testing.assert_array_equal(out_a, out_b)
+        # same knob state again -> cache hit
+        set_mul_group(2)
+        assert _circuit_fn(params, "packed", "packed") is fn_a
+    finally:
+        set_mul_group(2)
+
+
+def test_set_tile_rows_forces_value():
+    """Round-3 advisor: set_tile_rows(DEFAULT) must force that value, not
+    silently re-enable the per-n table."""
+    from matrix_inversion_tpu.ops import fused_inverse as fi
+
+    try:
+        assert fi._default_tile_rows(3) == fi._TILE_ROWS_BY_N[3]
+        fi.set_tile_rows(40)
+        for n in (2, 3, 4, 5, 6):
+            assert fi._default_tile_rows(n) == 40
+        fi.set_tile_rows(None)
+        assert fi._default_tile_rows(2) == fi._TILE_ROWS_BY_N[2]
+        assert fi._default_tile_rows(4) == fi._TILE_ROWS_DEFAULT
+    finally:
+        fi.set_tile_rows(None)
