@@ -147,6 +147,211 @@ def cmd_lowering(args):
     write_result("lowering", results)
 
 
+def cmd_fused(args):
+    """Per-n fused-kernel throughput at a FIXED batch, with dispersion.
+
+    Round-3 verdict items 1/2/5: per-n rates at one comparable batch size
+    (cross-n numbers at different batches were not comparable), median +-
+    spread over >= 3 timing passes, the per-n measured-rate roofline/MFU,
+    and the overflow-tracked kernel's overhead.  Writes results/fused.json.
+    """
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+    import matrix_inversion_tpu as mi
+    from matrix_inversion_tpu.models.inverse import (
+        qfloat_matrix_inverse_packed_io,
+        qfloat_matrix_inverse_with_overflow,
+    )
+    from matrix_inversion_tpu.models.marshal import float_matrix_to_mags_and_signs
+    from matrix_inversion_tpu.ops.fused_inverse import set_tile_rows
+    from matrix_inversion_tpu.utils.roofline import kernel_roofline
+    from matrix_inversion_tpu.utils.timing import timed_chain
+
+    results = {}
+    prior = os.path.join(RESULTS_DIR, "fused.json")
+    if os.path.exists(prior) and args.merge:
+        with open(prior) as fh:
+            results = json.load(fh)
+    sizes = [int(s) for s in args.sizes.split(",")]
+    tiles = [int(t) for t in args.tiles.split(",")] if args.tiles else [None]
+    for n in sizes:
+        p = mi.PRESETS[args.preset].replace(n=n)
+        rng = np.random.RandomState(0)
+        M = rng.randn(args.batch, n, n) * 100
+        mags, signs = float_matrix_to_mags_and_signs(
+            M, p.qfloat_len, p.qfloat_ints, p.qfloat_base
+        )
+        m = jax.device_put(jnp.asarray(mags, jnp.int64))
+        s = jax.device_put(jnp.asarray(signs, jnp.int64))
+
+        variants = {"fused": ("fused", False)}
+        if args.tracked:
+            variants["fused_tracked"] = ("fused", True)
+            variants["unroll_tracked"] = ("unroll", True)
+        for vname, (lowering, tracked) in variants.items():
+            for tile in tiles:
+                set_tile_rows(tile)
+                try:
+                    body = (
+                        qfloat_matrix_inverse_with_overflow
+                        if tracked
+                        else qfloat_matrix_inverse_packed_io
+                    )
+                    fn = jax.jit(
+                        functools.partial(
+                            body,
+                            n=n,
+                            qfloat_len=p.qfloat_len,
+                            qfloat_ints=p.qfloat_ints,
+                            qfloat_base=p.qfloat_base,
+                            true_division=p.true_division,
+                            lowering=lowering,
+                        )
+                    )
+                    t0 = time.time()
+                    out = fn(m, s)
+                    jax.block_until_ready(out)
+                    _ = np.asarray(out[0][0, 0])
+                    compile_s = time.time() - t0
+
+                    step = lambda st: fn(st[0], st[1])[:2]
+                    fence = lambda st: np.asarray(st[0][0, 0])
+                    med, stats = timed_chain(
+                        step, fence, (m, s), args.reps, args.repeats
+                    )
+                finally:
+                    set_tile_rows(None)
+                rate = args.batch * args.reps / med
+                key = f"{args.preset}/n={n}/{vname}" + (
+                    f"/tile={tile}" if tile else ""
+                )
+                entry = {
+                    "inversions_per_s": round(rate, 1),
+                    "inversions_per_s_best": round(
+                        args.batch * args.reps / stats["elapsed_min_s"], 1
+                    ),
+                    "batch": args.batch,
+                    "compile_s": round(compile_s, 1),
+                    **stats,
+                }
+                if vname == "fused" and tile is None:
+                    roof = kernel_roofline(
+                        measured_inversions_per_s=rate, n=n, preset=args.preset
+                    )
+                    entry["ops_per_inversion_kernel"] = roof[
+                        "ops_per_inversion_kernel"
+                    ]
+                    entry["mfu_pct_vs_measured_roofline"] = roof[
+                        "mfu_pct_vs_measured_roofline"
+                    ]
+                results[key] = entry
+                print(key, entry, flush=True)
+    write_result("fused", results)
+
+
+def cmd_e2e(args):
+    """Sustained END-TO-END throughput: quantize -> invert -> dequantize.
+
+    Round-3 verdict missing #2: the 60M+/s headline is device-only; this
+    measures what a production caller actually gets for float-in/float-out
+    batches, with the native C++ marshaller on vs off and the streaming
+    (pipelined) vs serial execution, and names the host-side bottleneck.
+    Mirrors the reference's total-lifecycle row ("Total, 1 run w/
+    encryption", reference README.md:141).  Writes results/e2e.json.
+    """
+    import datetime
+
+    import jax
+    import jax.numpy as jnp
+    import matrix_inversion_tpu as mi
+    from matrix_inversion_tpu.runtime import native
+    from matrix_inversion_tpu.runtime.api import BatchedMatrixInversion
+    from matrix_inversion_tpu.runtime.stream import StreamingInverter
+
+    p = mi.PRESETS[args.preset].replace(n=args.n)
+    inv = BatchedMatrixInversion(p, args.batch, backend="packed", io="packed")
+    rng = np.random.RandomState(0)
+    M = rng.randn(args.batch, args.n, args.n) * 100
+
+    results = {
+        "config": f"{args.preset}/n={args.n}",
+        "batch": args.batch,
+        "n_batches_streamed": args.nbatches,
+        "date": datetime.date.today().isoformat(),
+        "platform": jax.devices()[0].platform,
+    }
+
+    # device-only reference rate (chained reps, same as the headline bench)
+    a, b = inv.quantize(M)
+    m = jax.device_put(jnp.asarray(a))
+    s = jax.device_put(jnp.asarray(b))
+    out = inv.run_raw(m, s)
+    jax.block_until_ready(out)
+    _ = np.asarray(out[0][0, 0])
+    t0 = time.time()
+    mm, ss = m, s
+    for _ in range(args.nbatches):
+        mm, ss = inv.run_raw(mm, ss)
+    _ = np.asarray(jax.block_until_ready(mm)[0, 0])
+    dev_elapsed = time.time() - t0
+    results["device_only_inversions_per_s"] = round(
+        args.batch * args.nbatches / dev_elapsed, 1
+    )
+
+    for native_on in ((True, False) if native.available() else (False,)):
+        saved = (native._LIB, native._TRIED)
+        if not native_on:
+            native._LIB, native._TRIED = None, True
+        try:
+            label = "native" if native_on else "numpy"
+            # host-only phase rates (values/s through quantize/dequantize)
+            t0 = time.time()
+            a, b = inv.quantize(M)
+            tq = time.time() - t0
+            host_out = (np.asarray(out[0]), np.asarray(out[1]))
+            t0 = time.time()
+            _ = inv.dequantize(host_out)
+            tdq = time.time() - t0
+            results[f"{label}/quantize_s_per_batch"] = round(tq, 3)
+            results[f"{label}/dequantize_s_per_batch"] = round(tdq, 3)
+            results[f"{label}/serial_inversions_per_s"] = round(
+                args.batch / (tq + dev_elapsed / args.nbatches + tdq), 1
+            )
+
+            # streamed (pipelined) sustained rate, >= 2 timing passes
+            rates = []
+            for _ in range(args.repeats):
+                stream = StreamingInverter(inv, depth=args.depth)
+                t0 = time.time()
+                count = 0
+                for r in stream.run([M] * args.nbatches):
+                    count += r.shape[0]
+                elapsed = time.time() - t0
+                assert count == args.batch * args.nbatches
+                rates.append(count / elapsed)
+            rates.sort()
+            results[f"{label}/streamed_inversions_per_s"] = round(
+                rates[len(rates) // 2], 1
+            )
+            results[f"{label}/streamed_inversions_per_s_all"] = [
+                round(r, 1) for r in rates
+            ]
+        finally:
+            native._LIB, native._TRIED = saved
+        print(label, {k: v for k, v in results.items() if k.startswith(label)},
+              flush=True)
+
+    dev = results["device_only_inversions_per_s"]
+    best = results.get(
+        "native/streamed_inversions_per_s",
+        results.get("numpy/streamed_inversions_per_s", 0),
+    )
+    results["streamed_fraction_of_device_rate"] = round(best / dev, 3)
+    write_result("e2e", results)
+
+
 def cmd_scaling(args):
     """Data-parallel scaling efficiency across mesh sizes.
 
@@ -240,6 +445,25 @@ def main():
     sc = sub.add_parser("scaling")
     sc.add_argument("--batch", type=int, default=65536)
     sc.add_argument("--reps", type=int, default=3)
+    ee = sub.add_parser("e2e")
+    ee.add_argument("--n", type=int, default=4)
+    ee.add_argument("--preset", default="high")
+    ee.add_argument("--batch", type=int, default=262144)
+    ee.add_argument("--nbatches", type=int, default=8)
+    ee.add_argument("--depth", type=int, default=2)
+    ee.add_argument("--repeats", type=int, default=3)
+    fu = sub.add_parser("fused")
+    fu.add_argument("--sizes", default="2,3,4,5")
+    fu.add_argument("--preset", default="high")
+    fu.add_argument("--batch", type=int, default=1048576)
+    fu.add_argument("--reps", type=int, default=10)
+    fu.add_argument("--repeats", type=int, default=3)
+    fu.add_argument("--tiles", default=None,
+                    help="comma list of tile_rows to sweep (default: per-n)")
+    fu.add_argument("--tracked", action="store_true",
+                    help="also measure overflow-tracked fused + unroll")
+    fu.add_argument("--merge", action="store_true",
+                    help="merge into existing results/fused.json")
     lo = sub.add_parser("lowering")
     lo.add_argument("--sizes", default="4,5,6,8,10")
     lo.add_argument("--lowerings", default="scan,unroll")
@@ -261,6 +485,8 @@ def main():
         "throughput": cmd_throughput,
         "scaling": cmd_scaling,
         "lowering": cmd_lowering,
+        "fused": cmd_fused,
+        "e2e": cmd_e2e,
     }[args.cmd](args)
 
 

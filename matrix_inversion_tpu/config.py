@@ -136,6 +136,7 @@ def knob_state() -> tuple:
         packed._MUL_TRUNC,
         pallas_kernels._DIVISION_TILE_ROWS,
         pair_qfloat._MUL_IMPL,
+        pair_qfloat._SADD_IMPL,
         fused_inverse._TILE_ROWS_OVERRIDE,
     )
 

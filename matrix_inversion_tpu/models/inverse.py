@@ -272,8 +272,24 @@ def qfloat_matrix_inverse_with_overflow(
     OR-reduced into one int flag per batch element, so callers can reject
     or retry saturated results instead of silently consuming them.
     Returns ``(out_mags, out_signs, overflowed)``.
+
+    All four lowerings support tracking with bit-identical flags
+    (tests/test_overflow.py).  On the fused path the PairQFloat ops record
+    into the same scope inside the Pallas kernel and the flag rides out as
+    an extra kernel output; its multiplies use the windowed form inside the
+    scope (the truncated form cannot expose the dropped carries), so
+    tracking costs some fused throughput — measured on v5e, see
+    benchmarks/results/fused.json — but far less than falling back to the
+    XLA unroll lowering.
     """
-    style = _resolve_lowering(lowering, n)
+    style = _resolve_lowering(lowering, n, packed_ok=True)
+    if style == "fused":
+        from ..ops.fused_inverse import fused_matrix_inverse
+
+        return fused_matrix_inverse(
+            mags, signs, n, qfloat_len, qfloat_ints, qfloat_base,
+            true_division, track=True,
+        )
     if n >= 3 and style in ("scan", "vec"):
         from .qfloat_lu_scan import (
             qfloat_matrix_inverse_scan,

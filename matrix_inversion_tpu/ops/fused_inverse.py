@@ -71,12 +71,21 @@ def _default_tile_rows(n):
 
 
 def fused_inverse_body(hi, lo, sg, n, qfloat_len, qfloat_ints, base,
-                       true_division):
+                       true_division, track=False):
     """The whole inversion on stacked (n*n, ...) uint32 pair words.
 
     Pure jnp: this is both the Pallas kernel body (on VMEM-loaded tiles)
     and an eagerly-testable function (tests/test_fused.py runs it directly
     against the packed unrolled lowering — no Pallas required).
+
+    ``track=True`` additionally returns a per-batch-element overflow flag
+    (int32, OR of every normalization/division overflow inside the
+    inversion) — the reference's open TODO (reference qfloat.py:255-257;
+    overflow is its documented main big-error source, README.md:119-121).
+    The PairQFloat ops record into the same ``track_overflow`` scope the
+    packed backend uses, so the flags are bit-identical to the tracked
+    unroll lowering (tests/test_overflow.py); multiplies fall back from the
+    truncated to the windowed form inside the scope (see ops/pair_qfloat).
     """
     from ..models.qfloat_lu import (
         lu_from_pivot,
@@ -84,16 +93,18 @@ def fused_inverse_body(hi, lo, sg, n, qfloat_len, qfloat_ints, base,
         qfloat_lu_inverse,
         qfloat_pivot_cells,
     )
+    from .packed import track_overflow
 
-    cells = [
-        PairQFloat(hi[idx], lo[idx], qfloat_len, qfloat_ints, base, sg[idx])
-        for idx in range(n * n)
-    ]
-    M = [cells[i * n:(i + 1) * n] for i in range(n)]
+    def run():
+        cells = [
+            PairQFloat(hi[idx], lo[idx], qfloat_len, qfloat_ints, base,
+                       sg[idx])
+            for idx in range(n * n)
+        ]
+        M = [cells[i * n:(i + 1) * n] for i in range(n)]
 
-    if n == 2:
-        Minv = qfloat_inverse_2x2(M, qfloat_len, qfloat_ints)
-    else:
+        if n == 2:
+            return qfloat_inverse_2x2(M, qfloat_len, qfloat_ints)
         P = [
             [SignedBinary(c) for c in row]
             for row in qfloat_pivot_cells(M)
@@ -101,9 +112,21 @@ def fused_inverse_body(hi, lo, sg, n, qfloat_len, qfloat_ints, base,
         Pb, Lm, Um = lu_from_pivot(
             P, M, qfloat_len, qfloat_ints, true_division, False
         )
-        Minv = qfloat_lu_inverse(
+        return qfloat_lu_inverse(
             Pb, Lm, Um, qfloat_len, qfloat_ints, true_division, False
         )
+
+    ovf = None
+    if track:
+        with track_overflow() as tracker:
+            Minv = run()
+            # OR all recorded flags into one int32 per batch element; keep
+            # it in boolean algebra (Mosaic cannot select on i1 vectors)
+            ovf = jnp.zeros_like(hi[0], dtype=jnp.int32)
+            for f in tracker.flags:
+                ovf = ovf | f.astype(jnp.int32)
+    else:
+        Minv = run()
 
     ohi, olo, osg = [], [], []
     for i in range(n):
@@ -113,18 +136,26 @@ def fused_inverse_body(hi, lo, sg, n, qfloat_len, qfloat_ints, base,
             ohi.append(cell.hi)
             olo.append(cell.lo)
             osg.append(_sign_arr(cell.sign, cell.hi).astype(jnp.int32))
+    if track:
+        return ohi, olo, osg, ovf
     return ohi, olo, osg
 
 
-def _fused_kernel(n, qfloat_len, qfloat_ints, base, true_division,
-                  hi_ref, lo_ref, sg_ref, ohi_ref, olo_ref, osg_ref):
+def _fused_kernel(n, qfloat_len, qfloat_ints, base, true_division, track,
+                  hi_ref, lo_ref, sg_ref, ohi_ref, olo_ref, osg_ref,
+                  ovf_ref=None):
     n2 = n * n
-    ohi, olo, osg = fused_inverse_body(
+    out = fused_inverse_body(
         [hi_ref[i] for i in range(n2)],
         [lo_ref[i] for i in range(n2)],
         [sg_ref[i] for i in range(n2)],
-        n, qfloat_len, qfloat_ints, base, true_division,
+        n, qfloat_len, qfloat_ints, base, true_division, track=track,
     )
+    if track:
+        ohi, olo, osg, ovf = out
+        ovf_ref[...] = ovf
+    else:
+        ohi, olo, osg = out
     for i in range(n2):
         ohi_ref[i] = ohi[i]
         olo_ref[i] = olo[i]
@@ -132,22 +163,27 @@ def _fused_kernel(n, qfloat_len, qfloat_ints, base, true_division,
 
 
 def _fused_call(hi, lo, sg, n, qfloat_len, qfloat_ints, base, true_division,
-                interpret):
+                interpret, track=False):
     n2, rows, _ = hi.shape
     spec = pl.BlockSpec(memory_space=pltpu.VMEM)
     kernel = functools.partial(
-        _fused_kernel, n, qfloat_len, qfloat_ints, base, true_division
+        _fused_kernel, n, qfloat_len, qfloat_ints, base, true_division, track
     )
     shape = (n2, rows, LANES)
+    out_shape = (
+        jax.ShapeDtypeStruct(shape, jnp.uint32),
+        jax.ShapeDtypeStruct(shape, jnp.uint32),
+        jax.ShapeDtypeStruct(shape, jnp.int32),
+    )
+    if track:
+        out_shape = out_shape + (
+            jax.ShapeDtypeStruct((rows, LANES), jnp.int32),
+        )
     return pl.pallas_call(
         kernel,
         in_specs=[spec, spec, spec],
-        out_specs=(spec, spec, spec),
-        out_shape=(
-            jax.ShapeDtypeStruct(shape, jnp.uint32),
-            jax.ShapeDtypeStruct(shape, jnp.uint32),
-            jax.ShapeDtypeStruct(shape, jnp.int32),
-        ),
+        out_specs=(spec,) * len(out_shape),
+        out_shape=out_shape,
         # the default 16 MB scoped-vmem budget caps the tile at 32 rows;
         # raising it lets larger tiles compile (measured in the tile sweep)
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
@@ -156,14 +192,17 @@ def _fused_call(hi, lo, sg, n, qfloat_len, qfloat_ints, base, true_division,
 
 
 def fused_matrix_inverse(mags, signs, n, qfloat_len, qfloat_ints, base,
-                         true_division, tile_rows=None, interpret=False):
+                         true_division, tile_rows=None, interpret=False,
+                         track=False):
     """Whole-inversion fused kernel over arbitrarily large batches.
 
     Same contract as the packed-I/O circuit body
     (``models.inverse.qfloat_matrix_inverse_packed_io``): ``(..., n*n)``
     int64 magnitudes + signs in, the same (int64) out — bit-identical
     results, one kernel launch per batch tile instead of one XLA kernel
-    per op.
+    per op.  ``track=True`` returns ``(mags, signs, overflowed)`` with an
+    int32 per-matrix overflow flag, bit-identical to the tracked unroll
+    lowering (see ``fused_inverse_body``).
     """
     tile_rows = tile_rows or _default_tile_rows(n)
     if not interpret and jax.default_backend() == "cpu":
@@ -203,20 +242,30 @@ def fused_matrix_inverse(mags, signs, n, qfloat_len, qfloat_ints, base,
     sg = flat_s.reshape(n2, rows, LANES)
 
     n_chunks = rows // tile_rows
+    ovf = None
     if n_chunks == 1:
-        ohi, olo, osg = _fused_call(
+        out = _fused_call(
             hi, lo, sg, n, qfloat_len, qfloat_ints, base, true_division,
-            interpret,
+            interpret, track=track,
         )
+        if track:
+            ohi, olo, osg, ovf = out
+        else:
+            ohi, olo, osg = out
     else:
         chunked = lambda a: a.reshape(n2, n_chunks, tile_rows, LANES).swapaxes(0, 1)
-        ohi, olo, osg = lax.map(
+        out = lax.map(
             lambda args: _fused_call(
                 *args, n, qfloat_len, qfloat_ints, base, true_division,
-                interpret,
+                interpret, track=track,
             ),
             (chunked(hi), chunked(lo), chunked(sg)),
         )
+        if track:
+            ohi, olo, osg, ovf = out
+            ovf = ovf.reshape(rows, LANES)
+        else:
+            ohi, olo, osg = out
         unchunk = lambda a: a.swapaxes(0, 1).reshape(n2, rows, LANES)
         ohi, olo, osg = unchunk(ohi), unchunk(olo), unchunk(osg)
 
@@ -224,4 +273,7 @@ def fused_matrix_inverse(mags, signs, n, qfloat_len, qfloat_ints, base,
     out_s = osg.reshape(n2, -1).astype(jnp.int64)
     out_m = jnp.moveaxis(out_m[:, :b], 0, -1).reshape(bshape + (n2,))
     out_s = jnp.moveaxis(out_s[:, :b], 0, -1).reshape(bshape + (n2,))
+    if track:
+        flag = ovf.reshape(-1)[:b].reshape(bshape)
+        return out_m, out_s, flag
     return out_m, out_s

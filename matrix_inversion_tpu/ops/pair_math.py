@@ -468,6 +468,30 @@ def mul_window(ahi, alo, bhi, blo, consts, out_mask64: int, bits: int = 1):
     wider power-of-two bases), and accumulate mod 2**64.  Digit-exact with
     ``ops.packed._mul_window_packed`` (reference qfloat.py:955-1021).
     """
+    acc_hi, acc_lo = _mul_window_acc(ahi, alo, bhi, blo, consts, bits)
+    return and_const(acc_hi, acc_lo, out_mask64)
+
+
+def mul_window_ovf(ahi, alo, bhi, blo, consts, out_mask64: int, bits: int = 1):
+    """:func:`mul_window` + overflow flag: carries out of the output window.
+
+    Returns ``(hi, lo, ovf)`` where ``ovf`` is a bool array, true when the
+    accumulated (cropped) partial-product sum had nonzero bits above the
+    output window — dropped overflow, exactly the flag the packed tracked
+    multiply records (``ops.packed._mul_window_packed`` with a live
+    tracker: ``(acc & ~out_mask) != 0``).  The truncated multiply cannot
+    compute this flag (its un-cropped high product parts pollute the bits
+    above the window), which is why tracked paths use the windowed form.
+    """
+    acc_hi, acc_lo = _mul_window_acc(ahi, alo, bhi, blo, consts, bits)
+    inv_mask = ((1 << 64) - 1) ^ (out_mask64 & ((1 << 64) - 1))
+    oh, ol = and_const(acc_hi, acc_lo, inv_mask)
+    hi, lo = and_const(acc_hi, acc_lo, out_mask64)
+    return hi, lo, nonzero(oh, ol)
+
+
+def _mul_window_acc(ahi, alo, bhi, blo, consts, bits: int = 1):
+    """Raw mod-2**64 accumulation of the cropped partial products."""
     a_shs, b_shs, b_masks, o_shs = consts
     acc_hi = jnp.zeros_like(ahi)
     acc_lo = jnp.zeros_like(alo)
@@ -505,4 +529,4 @@ def mul_window(ahi, alo, bhi, blo, consts, out_mask64: int, bits: int = 1):
         acc_hi = acc_hi + xhi + carry
         acc_lo = new_lo
 
-    return and_const(acc_hi, acc_lo, out_mask64)
+    return acc_hi, acc_lo

@@ -42,6 +42,7 @@ from ..core.qfloat import (
     _check_invert_sign,
     _is_number_like,
 )
+from . import packed as _packed
 from . import pair_math as pm
 from .packed import _digit_bits, _float_div_chunk_bits, _mul_window_consts
 
@@ -64,9 +65,25 @@ def set_mul_impl(impl):
     _MUL_IMPL = impl
 
 
+# Signed-add lowering: "magnitude" (default) computes sum AND both
+# differences of the magnitudes and selects; "twos" converts operands to
+# two's-complement pairs, adds once, and converts back.  Bit-identical
+# (property-tested); kept as a measured A/B knob (round-3 NOTES item 0:
+# the untried ~1k-op lever).
+_SADD_IMPL = "magnitude"
+
+
+def set_sadd_impl(impl):
+    """Force the pair signed-add lowering: "magnitude" or "twos"."""
+    global _SADD_IMPL
+    assert impl in ("magnitude", "twos"), impl
+    _SADD_IMPL = impl
+
+
 def _pair_mul(ahi, alo, a_ints, a_len, bhi, blo, b_ints, b_len,
               newlength, newints, bits):
-    if _MUL_IMPL == "trunc":
+    tracker = _packed._OVERFLOW_TRACKER
+    if _MUL_IMPL == "trunc" and tracker is None:
         return pm.mul_truncated(
             ahi, alo, bhi, blo, a_len, a_ints, b_len, b_ints,
             newlength, newints, bits,
@@ -75,6 +92,16 @@ def _pair_mul(ahi, alo, a_ints, a_len, bhi, blo, b_ints, b_len,
         a_ints, a_len, b_ints, b_len, newlength, newints, bits
     )
     out_mask = (1 << (bits * newlength)) - 1
+    if tracker is not None:
+        # tracked multiplies keep the windowed form: its mod-2**64 partial
+        # sum exposes exactly the carries out of the output window (the
+        # truncated form's un-cropped high product parts pollute them) —
+        # same fallback the packed backend makes (ops/packed.py)
+        hi, lo, ovf = pm.mul_window_ovf(
+            ahi, alo, bhi, blo, consts, out_mask, bits
+        )
+        tracker.record(ovf)
+        return hi, lo
     return pm.mul_window(ahi, alo, bhi, blo, consts, out_mask, bits)
 
 
@@ -237,9 +264,15 @@ class PairQFloat(QFloatBase):
 
     # ---- addition ---------------------------------------------------------------
     def _sadd(self, ohi, olo, osign):
-        """Signed-magnitude add + tidy: identical values to PackedQFloat's
+        """Signed add + tidy: identical values to PackedQFloat's
         ``v = mag*sign + omag*osign; mag = |v| & mask; sign = v<0 & mag!=0``
-        — without ever forming a 64-bit signed value."""
+        — without ever forming a 64-bit signed value.
+
+        Two lowerings (``set_sadd_impl``), bit-identical: "magnitude"
+        computes the sum and both |differences| of the magnitudes and
+        selects by sign agreement; "twos" negates negative operands into
+        two's-complement pairs, adds once, and takes |v| back.
+        """
         mask = self._mask64()
         # magnitudes with sign==0 zeroed (their contribution to v is 0)
         ah, al = self._zeroed(self._hi, self._lo, self._sign)
@@ -247,17 +280,37 @@ class PairQFloat(QFloatBase):
         a_neg = self._neg_flag(self._sign, self._hi)
         b_neg = self._neg_flag(osign, ohi)
 
-        same = a_neg == b_neg
-        sh, sl = pm.add(ah, al, bh, bl)
-        a_ge = pm.ge(ah, al, bh, bl)
-        d1h, d1l = pm.sub(ah, al, bh, bl)
-        d2h, d2l = pm.sub(bh, bl, ah, al)
-        dh, dl = pm.select(a_ge, d1h, d1l, d2h, d2l)
-        vh, vl = pm.select(same, sh, sl, dh, dl)
-        # boolean algebra, not where: Mosaic cannot select on i1 vectors
-        keep_a = same | a_ge
-        neg = (keep_a & a_neg) | (~keep_a & b_neg)
+        if _SADD_IMPL == "twos":
+            # x -> x or -x (two's complement, 64-bit pair): with
+            # m = 0 or ~0, -x == (x ^ m) - m; magnitudes < 2**62 so the
+            # signed sum fits and its top bit is the sign
+            ma = _U32(0) - a_neg.astype(_U32)
+            mb = _U32(0) - b_neg.astype(_U32)
+            tah, tal = pm.sub(ah ^ ma, al ^ ma, ma, ma)
+            tbh, tbl = pm.sub(bh ^ mb, bl ^ mb, mb, mb)
+            vh, vl = pm.add(tah, tal, tbh, tbl)
+            neg = (vh >> _U32(31)) != 0
+            mv = _U32(0) - neg.astype(_U32)
+            vh, vl = pm.sub(vh ^ mv, vl ^ mv, mv, mv)
+        else:
+            same = a_neg == b_neg
+            sh, sl = pm.add(ah, al, bh, bl)
+            a_ge = pm.ge(ah, al, bh, bl)
+            d1h, d1l = pm.sub(ah, al, bh, bl)
+            d2h, d2l = pm.sub(bh, bl, ah, al)
+            dh, dl = pm.select(a_ge, d1h, d1l, d2h, d2l)
+            vh, vl = pm.select(same, sh, sl, dh, dl)
+            # boolean algebra, not where: Mosaic cannot select on i1 vectors
+            keep_a = same | a_ge
+            neg = (keep_a & a_neg) | (~keep_a & b_neg)
 
+        if _packed._OVERFLOW_TRACKER is not None:
+            # |v| exceeded the representable range — same flag as the packed
+            # backend's ``av > mask`` in ``_tidy_signed`` (reference open
+            # TODO, qfloat.py:623-624).  (v, not the masked magnitude: the
+            # signed-magnitude add never wraps 2**64 since bits*len <= 62.)
+            mkh, mkl = pm.const_pair(mask, vh)
+            _packed._OVERFLOW_TRACKER.record(pm.gt(vh, vl, mkh, mkl))
         mh, ml = pm.and_const(vh, vl, mask)
         sign = jnp.where(
             neg & pm.nonzero(mh, ml),
@@ -418,6 +471,11 @@ class PairQFloat(QFloatBase):
             raise ValueError("division dividend too wide for pair backend")
         dh, dl = pm.shl(self._hi, self._lo, self._bits * fp)
         qh, ql = other._long_division(dh, dl, n_digits)
+        if _packed._OVERFLOW_TRACKER is not None:
+            # quotient digits beyond the kept window are dropped overflow
+            # (same flag as ops/packed.py __itruediv__)
+            oh, ol = pm.shr(qh, ql, self._bits * self._length)
+            _packed._OVERFLOW_TRACKER.record(pm.nonzero(oh, ol))
         self._hi, self._lo = pm.and_const(qh, ql, self._mask64())
         self._sign = self.sign * other.sign
         return self
@@ -438,6 +496,9 @@ class PairQFloat(QFloatBase):
         dh, dl = pm.const_pair(1 << (self._bits * (fpself + fp)), self._hi)
         qh, ql = self._long_division(dh, dl, n_digits)
         if newlength - n_digits < 0:
+            if _packed._OVERFLOW_TRACKER is not None:
+                oh, ol = pm.shr(qh, ql, self._bits * newlength)
+                _packed._OVERFLOW_TRACKER.record(pm.nonzero(oh, ol))
             qh, ql = pm.and_const(qh, ql, (1 << (self._bits * newlength)) - 1)
         sb = sign.value if isinstance(sign, SignedBinary) else sign
         return PairQFloat(qh, ql, newlength, newints, self._base, sb * self.sign)

@@ -11,6 +11,7 @@ import pytest
 
 from matrix_inversion_tpu.core.qfloat import SignedBinary, Zero
 from matrix_inversion_tpu.ops.packed import PackedQFloat
+from matrix_inversion_tpu.ops import pair_qfloat as pq
 from matrix_inversion_tpu.ops.pair_qfloat import PairQFloat
 
 
@@ -264,3 +265,25 @@ def test_div_float_fixup_bound(rng):
     qhi, qlo = pm.div_float(vhi, vlo, dhi, dlo, n_bits, k, d_bits=divisor_bits)
     got_pair = np.asarray(pm.join64(qhi, qlo)).astype(np.int64)
     np.testing.assert_array_equal(got_pair, expected)
+
+
+@pytest.mark.parametrize("base", [2, 4, 16])
+def test_sadd_twos_parity(rng, base):
+    """The two's-complement signed-add lowering is bit-identical to the
+    default magnitude-select form (set_sadd_impl A/B knob)."""
+    try:
+        pq.set_sadd_impl("twos")
+        for _ in range(4):
+            pk1, pr1 = rand_qf(rng, base=base)
+            pk2, pr2 = rand_qf(rng, base=base, allow_zero_sign=True)
+            assert_same(pk1 + pk2, pr1 + pr2)
+            assert_same(pk1 - pk2, pr1 - pr2)
+            assert_same(pk2 - pk1, pr2 - pr1)
+            assert_same(pk1 + (-2), pr1 + (-2))
+            sb = rng.choice([-1, 0, 1], size=64)
+            assert_same(
+                pk1 + SignedBinary(np.asarray(sb)),
+                pr1 + SignedBinary(np.asarray(sb)),
+            )
+    finally:
+        pq.set_sadd_impl("magnitude")
