@@ -30,6 +30,7 @@ def main():
     on_tpu = platform not in ("cpu",)
     batch = int(os.environ.get("BENCH_BATCH", 1048576 if on_tpu else 256))
     reps = int(os.environ.get("BENCH_REPS", 10 if on_tpu else 2))
+    repeats = int(os.environ.get("BENCH_REPEATS", 3 if on_tpu else 1))
 
     params = HIGH.replace(n=4)
     t0 = time.time()
@@ -55,14 +56,14 @@ def main():
     # chain reps through data dependencies (packed I/O output shapes equal
     # the input shapes), so one final host fetch fences ALL reps even where
     # async dispatch makes per-rep blocking unreliable; the single tunnel
-    # round-trip is amortized over the chain
-    t0 = time.time()
-    m, s = mags, signs
-    for _ in range(reps):
-        m, s = inv.run_raw(m, s)
-    out = (m, s)
-    sync(out)
-    elapsed = time.time() - t0
+    # round-trip is amortized over the chain.  >=3 independent timing
+    # passes: the median is reported and the spread recorded (cross-day
+    # chip/tunnel variance is up to ~25%, NOTES.md — a single number can't
+    # tell a regression from noise).
+    from matrix_inversion_tpu.utils.timing import timed_chain
+
+    step = lambda st: inv.run_raw(*st)
+    elapsed, spread = timed_chain(step, sync, (mags, signs), reps, repeats)
     throughput = batch * reps / elapsed
 
     # correctness spot check on a slice (single application, from warmup)
@@ -80,6 +81,13 @@ def main():
         "compile_s": round(compile_s, 2),
         "mean_abs_error": err,
         "platform": platform,
+        # dispersion + provenance (median over `timing_repeats` passes)
+        "value_best": round(batch * reps / spread["elapsed_min_s"], 1),
+        "value_worst": round(batch * reps / spread["elapsed_max_s"], 1),
+        "spread_pct": spread["spread_pct"],
+        "timing_repeats": spread["timing_repeats"],
+        "date": spread["date"],
+        "device_kind": spread["device_kind"],
     }
     print(json.dumps(result))
 
