@@ -352,6 +352,56 @@ def cmd_e2e(args):
     write_result("e2e", results)
 
 
+def cmd_rooflines(args):
+    """Per-n measured-rate roofline table (round-3 verdict missing #3).
+
+    Pure tracing — no device work: reads the measured per-n fused rates
+    from results/fused.json, traces the kernel body per n for its true op
+    count, and writes the consolidated table to results/roofline.json
+    under "per_n" (keeping the existing flagship/ubench entries).
+    ``--rate`` overrides the issue-rate bound (elem-ops/s) when a fresh
+    ubench calibration exists.
+    """
+    from matrix_inversion_tpu.utils.roofline import kernel_roofline
+
+    fused_path = os.path.join(RESULTS_DIR, "fused.json")
+    with open(fused_path) as fh:
+        fused = json.load(fh)
+
+    rates = {"default": args.rate} if args.rate else None
+    per_n = {}
+    for n in [int(s) for s in args.sizes.split(",")]:
+        key = f"{args.preset}/n={n}/fused"
+        measured = fused.get(key, {}).get("inversions_per_s")
+        roof = kernel_roofline(
+            measured_inversions_per_s=measured, n=n, preset=args.preset,
+            measured_rates=rates,
+        )
+        roof.pop("kernel_op_histogram", None)  # bulky; keep the scalars
+        if measured:
+            roof["measured_date"] = fused[key].get("date")
+            roof["measured_spread_pct"] = fused[key].get("spread_pct")
+        per_n[f"n={n}"] = roof
+        print(f"n={n}", roof, flush=True)
+
+    path = os.path.join(RESULTS_DIR, "roofline.json")
+    results = {}
+    if os.path.exists(path):
+        with open(path) as fh:
+            results = json.load(fh)
+    results["per_n"] = per_n
+    results["per_n_note"] = (
+        "MFU is vs the conservative measured u32 issue rate; the small-n "
+        "shortfall is per-launch chunk-loop overhead, not issue-rate "
+        "headroom — measured by a copy-only kernel through the identical "
+        "plumbing (NOTES.md round 4)."
+    )
+    os.makedirs(RESULTS_DIR, exist_ok=True)
+    with open(path, "w") as fh:
+        json.dump(results, fh, indent=2)
+    print("wrote", path)
+
+
 def cmd_scaling(args):
     """Data-parallel scaling efficiency across mesh sizes.
 
@@ -445,6 +495,10 @@ def main():
     sc = sub.add_parser("scaling")
     sc.add_argument("--batch", type=int, default=65536)
     sc.add_argument("--reps", type=int, default=3)
+    ro = sub.add_parser("rooflines")
+    ro.add_argument("--sizes", default="2,3,4,5")
+    ro.add_argument("--preset", default="high")
+    ro.add_argument("--rate", type=float, default=None)
     ee = sub.add_parser("e2e")
     ee.add_argument("--n", type=int, default=4)
     ee.add_argument("--preset", default="high")
@@ -487,6 +541,7 @@ def main():
         "lowering": cmd_lowering,
         "fused": cmd_fused,
         "e2e": cmd_e2e,
+        "rooflines": cmd_rooflines,
     }[args.cmd](args)
 
 

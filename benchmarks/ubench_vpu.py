@@ -13,13 +13,16 @@ Measures elem-ops/s per primitive mix inside a straight-line Mosaic kernel
 * C independent chains per kernel separate throughput from dependency
   latency.
 
-Measured on v5e (2026-08, this file's defaults, see
-benchmarks/results/roofline.json): u32 add 1.50 T/s, u32 mul 1.95 T/s,
-mul+add mix 2.53 T/s, shift/xor/add mix 2.33 T/s, cmp/xor/select/add mix
-1.94 T/s — i.e. the practical vector issue rate is ~1.5-2.5 T u32
-elem-ops/s depending on mix, NOT the 8*128*4*0.94e9 ~ 3.85 T/s four-ALU
-figure sometimes quoted: a straight-line int kernel averages ~1.3-1.7
-ops/cycle/lane-slot.
+Measured on v5e (2026-08 round 3, see benchmarks/results/roofline.json):
+u32 add 1.50 T/s, u32 mul 1.95 T/s, mul+add mix 2.53 T/s, shift/xor/add
+mix 2.33 T/s, cmp/xor/select/add mix 1.94 T/s.  Re-measured 2026-08-21
+(round 4): add 1.57 T/s, mul 1.69 T/s, mul+add 1.58 T/s — the rate is now
+FLAT ~1.6 T/s across mixes on the current runtime; the 2.5 T mixed rate
+did not reproduce.  Either way the practical issue rate is FAR below the
+8*128*4*0.94e9 ~ 3.85 T/s four-ALU figure sometimes quoted: a
+straight-line int kernel averages ~1.3-1.7 ops/cycle/lane-slot.
+Cross-day rates drift with runtime updates — recalibrate before quoting
+an MFU.
 """
 
 import json
