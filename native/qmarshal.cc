@@ -86,6 +86,33 @@ void quantize_digits(const double *values, int64_t n_values, int32_t len,
 void quantize_packed(const double *values, int64_t n_values, int32_t len,
                      int32_t ints, int32_t base, int64_t *mags_out,
                      int64_t *signs_out) {
+  bool pow2 = (base & (base - 1)) == 0;
+  int32_t k = 0;
+  for (int32_t b = base; b > 1; b >>= 1) ++k;  // log2(base) when pow2
+  if (pow2) {
+    // Exact closed form of the digit loops below: for base 2**k every
+    // step of the multiply-truncate fraction loop is an exact f64
+    // operation (multiply by a power of two, truncate), so the loop
+    // computes floor(|frac| * 2**fp_bits) — one scale + one truncate.
+    // The integer digits are just the low k*ints bits.  Bit-exact with
+    // the generic path (tests/test_native.py), ~10x fewer ops, and the
+    // branch-free body auto-vectorizes.
+    const int32_t fp_bits = k * (len - ints);
+    const double fp_scale = std::ldexp(1.0, fp_bits);  // 2**fp_bits, exact
+    const int64_t int_mask = (int64_t{1} << (k * ints)) - 1;
+    parallel_for(n_values, [&](int64_t lo, int64_t hi) {
+      for (int64_t i = lo; i < hi; ++i) {
+        double f = values[i];
+        double af = f < 0 ? -f : f;
+        double int_part = std::trunc(af);
+        int64_t int_mag = static_cast<int64_t>(int_part) & int_mask;
+        int64_t frac_mag = static_cast<int64_t>((af - int_part) * fp_scale);
+        mags_out[i] = (int_mag << fp_bits) | frac_mag;
+        signs_out[i] = f > 0 ? 1 : (f < 0 ? -1 : 1);
+      }
+    });
+    return;
+  }
   parallel_for(n_values, [&](int64_t lo, int64_t hi) {
     for (int64_t i = lo; i < hi; ++i) {
       double f = values[i];
