@@ -275,13 +275,18 @@ def cmd_e2e(args):
     rng = np.random.RandomState(0)
     M = rng.randn(args.batch, args.n, args.n) * 100
 
-    results = {
+    results = {}
+    prior = os.path.join(RESULTS_DIR, "e2e.json")
+    if os.path.exists(prior):
+        with open(prior) as fh:
+            results = json.load(fh)
+    results.update({
         "config": f"{args.preset}/n={args.n}",
         "batch": args.batch,
         "n_batches_streamed": args.nbatches,
         "date": datetime.date.today().isoformat(),
         "platform": jax.devices()[0].platform,
-    }
+    })
 
     # device-only reference rate (chained reps, same as the headline bench)
     a, b = inv.quantize(M)
@@ -300,7 +305,10 @@ def cmd_e2e(args):
         args.batch * args.nbatches / dev_elapsed, 1
     )
 
-    for native_on in ((True, False) if native.available() else (False,)):
+    legs = (True, False) if native.available() else (False,)
+    if args.native_only and native.available():
+        legs = (True,)
+    for native_on in legs:
         saved = (native._LIB, native._TRIED)
         if not native_on:
             native._LIB, native._TRIED = None, True
@@ -323,7 +331,9 @@ def cmd_e2e(args):
             # streamed (pipelined) sustained rate, >= 2 timing passes
             rates = []
             for _ in range(args.repeats):
-                stream = StreamingInverter(inv, depth=args.depth)
+                stream = StreamingInverter(
+                    inv, depth=args.depth, finish_workers=args.finish_workers
+                )
                 t0 = time.time()
                 count = 0
                 for r in stream.run([M] * args.nbatches):
@@ -506,6 +516,8 @@ def main():
     ee.add_argument("--nbatches", type=int, default=8)
     ee.add_argument("--depth", type=int, default=2)
     ee.add_argument("--repeats", type=int, default=3)
+    ee.add_argument("--finish-workers", type=int, default=2)
+    ee.add_argument("--native-only", action="store_true")
     fu = sub.add_parser("fused")
     fu.add_argument("--sizes", default="2,3,4,5")
     fu.add_argument("--preset", default="high")

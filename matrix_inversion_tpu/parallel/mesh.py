@@ -72,7 +72,8 @@ def data_parallel_inverse(params: QFloatParams, mesh: Mesh, backend=None):
 
 
 def data_parallel_inverse_fused(params: QFloatParams, mesh: Mesh,
-                                tile_rows=None, interpret=False):
+                                tile_rows=None, interpret=False,
+                                track=False):
     """Batch-sharded FUSED inversion: shard_map around the whole-inversion
     Pallas kernel (ops/fused_inverse.py), packed I/O.
 
@@ -82,6 +83,10 @@ def data_parallel_inverse_fused(params: QFloatParams, mesh: Mesh,
     the natural multi-chip form of an embarrassingly-parallel batch (zero
     collectives, aggregate rate = per-chip rate x N by construction).
     Bit-exact with every other lowering (tests/test_sharding.py).
+
+    ``track=True`` adds the per-matrix overflow flag as a third output
+    (sharded like the batch) — the multi-chip form of
+    ``qfloat_matrix_inverse_with_overflow(lowering="fused")``.
     """
     from ..ops.fused_inverse import fused_matrix_inverse
 
@@ -93,13 +98,17 @@ def data_parallel_inverse_fused(params: QFloatParams, mesh: Mesh,
         return fused_matrix_inverse(
             mags, signs, p.n, p.qfloat_len, p.qfloat_ints, p.qfloat_base,
             p.true_division, tile_rows=tile_rows, interpret=interpret,
+            track=track,
         )
 
+    out_specs = (P("data", None), P("data", None))
+    if track:
+        out_specs = out_specs + (P("data"),)
     mapped = jax.shard_map(
         shard_fn,
         mesh=mesh,
         in_specs=(P("data", None), P("data", None)),
-        out_specs=(P("data", None), P("data", None)),
+        out_specs=out_specs,
         # the pallas_call out_shapes carry no varying-axis metadata; the
         # per-device program touches no collectives, so the check is moot
         check_vma=False,

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import queue
 import threading
+from concurrent.futures import ThreadPoolExecutor
 
 import numpy as np
 
@@ -33,9 +34,18 @@ class StreamingInverter:
             ...
     """
 
-    def __init__(self, batched_inverter, depth: int = 2):
+    def __init__(self, batched_inverter, depth: int = 2,
+                 finish_workers: int = 2):
+        """``depth``: max batches in flight on the device side.
+        ``finish_workers``: threads running the device-fetch + dequantize
+        stage.  The native dequantizer releases the GIL (ctypes), so >1
+        worker genuinely parallelizes the host-side tail — without it the
+        consumer dequantizes synchronously and the device idles behind
+        host work (measured: dequantize is the largest warm host cost per
+        batch, benchmarks/results/e2e.json).  0 = dequantize inline."""
         self.inv = batched_inverter
         self.depth = max(1, depth)
+        self.finish_workers = max(0, finish_workers)
 
     def _producer(self, batches, q):
         import jax
@@ -66,26 +76,38 @@ class StreamingInverter:
         )
         producer.start()
 
-        in_flight = []
-        failure = None
-        while True:
-            item = q.get()
-            if item is None:
-                break
-            if isinstance(item, _ProducerFailure):
-                failure = item
-                break
-            out = self.inv.run_raw(*item)  # async dispatch
-            in_flight.append(out)
-            while len(in_flight) >= self.depth:
-                yield self._finish(in_flight.pop(0))
-        for out in in_flight:
-            yield self._finish(out)
-        producer.join()
-        if failure is not None:
-            raise RuntimeError(
-                "StreamingInverter producer failed while preparing a batch"
-            ) from failure.exc
+        pool = (
+            ThreadPoolExecutor(max_workers=self.finish_workers)
+            if self.finish_workers
+            else None
+        )
+        finish = (lambda out: pool.submit(self._finish, out)) if pool else None
+
+        try:
+            in_flight = []  # device outputs or finish-futures, in order
+            failure = None
+            while True:
+                item = q.get()
+                if item is None:
+                    break
+                if isinstance(item, _ProducerFailure):
+                    failure = item
+                    break
+                out = self.inv.run_raw(*item)  # async dispatch
+                in_flight.append(finish(out) if pool else out)
+                while len(in_flight) >= self.depth:
+                    head = in_flight.pop(0)
+                    yield head.result() if pool else self._finish(head)
+            for out in in_flight:
+                yield out.result() if pool else self._finish(out)
+            producer.join()
+            if failure is not None:
+                raise RuntimeError(
+                    "StreamingInverter producer failed while preparing a batch"
+                ) from failure.exc
+        finally:
+            if pool:
+                pool.shutdown(wait=False)
 
     def _finish(self, out):
         import jax

@@ -55,6 +55,33 @@ extern "C" {
 void quantize_digits(const double *values, int64_t n_values, int32_t len,
                      int32_t ints, int32_t base, int32_t *digits_out,
                      int32_t *signs_out) {
+  bool pow2 = (base & (base - 1)) == 0;
+  int32_t k = 0;
+  for (int32_t b = base; b > 1; b >>= 1) ++k;
+  if (pow2 && static_cast<int64_t>(k) * len <= 62) {
+    // closed form (see quantize_packed): one scale+truncate per value,
+    // then peel digits with shifts — bit-exact with the loops below
+    const int32_t fp_bits = k * (len - ints);
+    const double fp_scale = std::ldexp(1.0, fp_bits);
+    const int64_t int_mask = (int64_t{1} << (k * ints)) - 1;
+    const int32_t dmask = base - 1;
+    parallel_for(n_values, [&](int64_t lo, int64_t hi) {
+      for (int64_t i = lo; i < hi; ++i) {
+        double f = values[i];
+        double af = f < 0 ? -f : f;
+        double int_part = std::trunc(af);
+        int64_t mag =
+            ((static_cast<int64_t>(int_part) & int_mask) << fp_bits) |
+            static_cast<int64_t>((af - int_part) * fp_scale);
+        int32_t *d = digits_out + i * len;
+        for (int32_t j = 0; j < len; ++j) {
+          d[j] = static_cast<int32_t>(mag >> (k * (len - 1 - j))) & dmask;
+        }
+        signs_out[i] = f > 0 ? 1 : (f < 0 ? -1 : 1);
+      }
+    });
+    return;
+  }
   parallel_for(n_values, [&](int64_t lo, int64_t hi) {
     for (int64_t i = lo; i < hi; ++i) {
       double f = values[i];

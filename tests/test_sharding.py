@@ -153,3 +153,36 @@ def test_batched_api_data_parallel_validation():
             LOW.replace(n=2), 13, backend="packed", io="packed",
             data_parallel=True,
         )
+
+
+def test_data_parallel_fused_tracked(rng):
+    """Tracked fused kernel under shard_map: values AND overflow flags match
+    the single-device tracked unroll lowering bit for bit."""
+    from matrix_inversion_tpu.models.inverse import (
+        qfloat_matrix_inverse_with_overflow,
+    )
+    from matrix_inversion_tpu.models.marshal import (
+        float_matrix_to_mags_and_signs,
+    )
+    from matrix_inversion_tpu.parallel.mesh import (
+        data_parallel_inverse_fused,
+        make_mesh,
+    )
+
+    p = LOW.replace(n=2)
+    B = 16
+    M = rng.randn(B, 2, 2) * 100
+    M[0, 1] = M[0, 0] * (1 + 1e-12)  # near-singular: must flag
+    mags, signs = float_matrix_to_mags_and_signs(
+        M, p.qfloat_len, p.qfloat_ints, p.qfloat_base
+    )
+    mesh = make_mesh(8, axis_names=("data",))
+    fn = data_parallel_inverse_fused(p, mesh, track=True)
+    got = fn(jnp.asarray(mags), jnp.asarray(signs))
+    ref = qfloat_matrix_inverse_with_overflow(
+        jnp.asarray(mags), jnp.asarray(signs), 2, p.qfloat_len,
+        p.qfloat_ints, p.qfloat_base, p.true_division, lowering="unroll",
+    )
+    assert len(got) == 3
+    for g, r in zip(got, ref):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(r))

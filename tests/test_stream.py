@@ -54,3 +54,21 @@ def test_streaming_producer_failure_raises(rng):
             got.append(out)
     # the two good batches were still delivered before the raise
     assert len(got) == 2
+
+
+def test_stream_finish_pool_matches_inline(rng):
+    """finish_workers>0 (threaded fetch+dequantize) yields the same batches
+    in the same order as the inline path."""
+    from matrix_inversion_tpu import LOW
+    from matrix_inversion_tpu.runtime.api import BatchedMatrixInversion
+    from matrix_inversion_tpu.runtime.stream import StreamingInverter
+
+    p = LOW.replace(n=3)
+    B = 32
+    inv = BatchedMatrixInversion(p, B, backend="packed", io="packed")
+    batches = [rng.randn(B, 3, 3) * 100 for _ in range(5)]
+    inline = list(StreamingInverter(inv, depth=2, finish_workers=0).run(batches))
+    pooled = list(StreamingInverter(inv, depth=2, finish_workers=3).run(batches))
+    assert len(inline) == len(pooled) == 5
+    for a, b in zip(inline, pooled):
+        np.testing.assert_array_equal(a, b)
