@@ -127,24 +127,25 @@ def qfloat_matrix_inverse(
 
 
 # Auto lowering policy, grounded in on-chip v5e measurements
-# (benchmarks/results/lowering.json, 65k batch, High preset; fused/unroll
-# n=4 figures re-measured round 3 at 1M batch with the truncated multiply,
-# benchmarks/results/fused.json):
-#   fused:  whole-inversion Pallas kernel (ops/fused_inverse.py) — 61.5M
-#           n=4 High inversions/s at 1M batch vs unroll's 28.2M (the XLA
-#           lowerings are HBM-traffic-bound; the kernel is VMEM-resident).
-#           Auto-selected on single-chip TPU for n <= FUSED_MAX_N; under a
-#           multi-chip mesh wrap it in shard_map or request it explicitly.
-#   unroll: fastest XLA lowering through n=8 (28.2M inv/s at n=4 1M batch,
-#           874k vs vec's 682k at n=8) but compile grows ~n^3 (149s at
-#           n=8, ~13 min at n=10);
+# (benchmarks/results/lowering.json, 65k batch, High preset; per-n fused
+# figures re-measured round 4 at a fixed 1M batch with dispersion,
+# benchmarks/results/fused.json, 2026-08-21):
+#   fused:  whole-inversion Pallas kernel (ops/fused_inverse.py) — 73.3M
+#           n=4 High inversions/s at 1M batch (~96% of the measured VPU
+#           issue-rate roofline; n=2 226M, n=3 99.5M, n=5 41.8M) vs the
+#           XLA unroll's ~23-28M (HBM-traffic-bound; the kernel is
+#           VMEM-resident).  Auto-selected on single-chip TPU for
+#           n <= FUSED_MAX_N; multi-device TPU processes get the
+#           shard_map form via BatchedMatrixInversion(data_parallel) or
+#           parallel.mesh.data_parallel_inverse_fused.
+#   unroll: fastest XLA lowering through n=8 (874k vs vec's 682k at n=8)
+#           but compile grows ~n^3 (149s at n=8, ~13 min at n=10);
 #   vec:    fastest at n=9-12 (378k inv/s at n=10, compile 156s, O(n^2)
 #           graph);
 #   scan:   compile nearly flat in n (39s at n=10, 15s CPU at n=16) at
 #           ~2x slower execution — the only practical choice for huge n.
-# n=6 measured on v5e (round 2): fused 5.0M inv/s (tile_rows=16) vs
-# unroll's 1.52M — 3.3x — at a comparable compile (~90s vs 64s); n=7+ is
-# untested fused (compile grows ~n^3) and stays on the XLA lowerings.
+# n=7+ is untested fused (compile grows ~n^3) and stays on the XLA
+# lowerings.
 FUSED_MAX_N = 6
 UNROLL_MAX_N = 8
 VEC_MAX_N = 12
