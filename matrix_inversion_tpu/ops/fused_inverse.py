@@ -51,7 +51,10 @@ SUBLANES = 8
 # (previous sweeps: trunc multiply optimum 32 rows at 61.5M, windowed
 # multiply optimum 64 rows at 52.2M — the optimum tracks live-state size)
 _TILE_ROWS_DEFAULT = 40
-_TILE_ROWS_BY_N = {2: 48, 3: 32, 5: 16, 6: 16}
+# n >= 9 defaults to 16 rows: live state grows ~n^2 cells and the larger
+# tiles stop fitting the scoped-VMEM budget (n=10 measured at tile 16:
+# 8.4M inv/s, benchmarks/results/fused.json)
+_TILE_ROWS_BY_N = {2: 48, 3: 32, 5: 16, 6: 16, 9: 16, 10: 16, 11: 16, 12: 16}
 # explicit user override (set_tile_rows); None = use the per-n table above.
 # A separate flag (not a sentinel value) so set_tile_rows(40) really forces
 # 40 rows for every n instead of silently re-enabling the per-n defaults.

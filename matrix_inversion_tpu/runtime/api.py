@@ -36,18 +36,33 @@ from ..models.marshal import (
 )
 
 
-def _circuit_fn(params: QFloatParams, backend: str, io: str):
-    """Shared circuit body per (params, backend, io, perf knobs) — one jit
-    entry per configuration regardless of how many API objects are
+def _circuit_fn(params: QFloatParams, backend: str, io: str,
+                track: bool = False):
+    """Shared circuit body per (params, backend, io, track, perf knobs) —
+    one jit entry per configuration regardless of how many API objects are
     constructed.  The perf-knob state is part of the key so flipping a knob
     (``set_mul_group``, ``set_tile_rows``, ...) retraces instead of silently
     reusing the program compiled under the old knob values."""
-    return _circuit_fn_cached(params, backend, io, knob_state())
+    return _circuit_fn_cached(params, backend, io, track, knob_state())
 
 
 @functools.lru_cache(maxsize=128)
-def _circuit_fn_cached(params: QFloatParams, backend: str, io: str, knobs):
+def _circuit_fn_cached(params: QFloatParams, backend: str, io: str, track,
+                       knobs):
     p = params
+    if track:
+        from ..models.inverse import qfloat_matrix_inverse_with_overflow
+
+        return functools.partial(
+            qfloat_matrix_inverse_with_overflow,
+            n=p.n,
+            qfloat_len=p.qfloat_len,
+            qfloat_ints=p.qfloat_ints,
+            qfloat_base=p.qfloat_base,
+            true_division=p.true_division,
+            tensorize=p.tensorize,
+            lowering=p.lowering,
+        )
     if io == "packed":
         from ..models.inverse import qfloat_matrix_inverse_packed_io
 
@@ -74,24 +89,27 @@ def _circuit_fn_cached(params: QFloatParams, backend: str, io: str, knobs):
     )
 
 
-def _jitted_circuit(params: QFloatParams, backend: str, io: str):
-    return _jitted_circuit_cached(params, backend, io, knob_state())
+def _jitted_circuit(params: QFloatParams, backend: str, io: str,
+                    track: bool = False):
+    return _jitted_circuit_cached(params, backend, io, track, knob_state())
 
 
 @functools.lru_cache(maxsize=128)
-def _jitted_circuit_cached(params: QFloatParams, backend: str, io: str, knobs):
-    return jax.jit(_circuit_fn_cached(params, backend, io, knobs))
+def _jitted_circuit_cached(params: QFloatParams, backend: str, io: str,
+                           track, knobs):
+    return jax.jit(_circuit_fn_cached(params, backend, io, track, knobs))
 
 
-def _compiled_circuit(params: QFloatParams, backend: str, io: str, batch_shape):
+def _compiled_circuit(params: QFloatParams, backend: str, io: str,
+                      batch_shape, track: bool = False):
     return _compiled_circuit_cached(
-        params, backend, io, batch_shape, knob_state()
+        params, backend, io, batch_shape, track, knob_state()
     )
 
 
 @functools.lru_cache(maxsize=128)
 def _compiled_circuit_cached(
-    params: QFloatParams, backend: str, io: str, batch_shape, knobs
+    params: QFloatParams, backend: str, io: str, batch_shape, track, knobs
 ):
     """AOT-compiled executable, memoized per configuration, batch shape, and
     perf-knob state (see ``_circuit_fn``)."""
@@ -105,7 +123,7 @@ def _compiled_circuit_cached(
         )
         arg1 = jax.ShapeDtypeStruct(batch_shape + (p.n * p.n,), jnp.int64)
     return (
-        _jitted_circuit_cached(params, backend, io, knobs)
+        _jitted_circuit_cached(params, backend, io, track, knobs)
         .lower(arg0, arg1)
         .compile()
     )
@@ -258,6 +276,7 @@ class BatchedMatrixInversion:
         out_shardings=None,
         donate: bool = False,
         data_parallel: bool = None,
+        track_overflow: bool = False,
     ):
         """``data_parallel``: None = auto.  On a multi-device TPU process
         with packed io and a fused-eligible config, auto builds the
@@ -266,7 +285,15 @@ class BatchedMatrixInversion:
         ``lowering="auto"`` policy for multi-chip meshes (round-3 verdict
         weak #2: auto used to silently drop to the 2.4x-slower unroll
         there).  True forces it (any backend incl. the CPU test mesh,
-        where the kernel runs in interpret mode); False disables."""
+        where the kernel runs in interpret mode); False disables.
+
+        ``track_overflow=True`` (packed io only) compiles the tracked
+        circuit (``qfloat_matrix_inverse_with_overflow``): ``run`` then
+        returns ``(inverses, overflowed)`` where ``overflowed`` is an
+        int (B,) flag per matrix — the reference's open TODO (its
+        qfloat.py:255-257; overflow is its documented main big-error
+        source), so production callers can reject saturated results.
+        Costs ~12%% on the fused path at n=4 High (results/fused.json)."""
         if backend != "auto":
             params = params.replace(backend=backend)
         self.params = params
@@ -275,7 +302,10 @@ class BatchedMatrixInversion:
             raise ValueError("io must be digits|packed")
         if io == "packed" and self.backend != "packed":
             raise ValueError("packed io requires the packed backend")
+        if track_overflow and io != "packed":
+            raise ValueError("track_overflow requires io='packed'")
         self.io = io
+        self.track_overflow = track_overflow
         self.batch_size = batch_size
         p = params
 
@@ -305,14 +335,15 @@ class BatchedMatrixInversion:
 
             mesh = make_mesh(axis_names=("data",))
             self._jitted = data_parallel_inverse_fused(
-                params, mesh, interpret=jax.default_backend() == "cpu"
+                params, mesh, interpret=jax.default_backend() == "cpu",
+                track=track_overflow,
             )
             self._fn = self._jitted  # simulate path == compiled path here
             arg0 = jax.ShapeDtypeStruct((batch_size, p.n * p.n), jnp.int64)
             self.circuit = self._jitted.lower(arg0, arg0).compile()
             return
 
-        self._fn = _circuit_fn(self.params, self.backend, io)
+        self._fn = _circuit_fn(self.params, self.backend, io, track_overflow)
         if in_shardings is not None or out_shardings is not None or donate:
             kw = {}
             if in_shardings is not None:
@@ -332,9 +363,11 @@ class BatchedMatrixInversion:
                 arg1 = jax.ShapeDtypeStruct((batch_size, p.n * p.n), jnp.int64)
             self.circuit = self._jitted.lower(arg0, arg1).compile()
         else:
-            self._jitted = _jitted_circuit(self.params, self.backend, io)
+            self._jitted = _jitted_circuit(
+                self.params, self.backend, io, track_overflow
+            )
             self.circuit = _compiled_circuit(
-                self.params, self.backend, io, (batch_size,)
+                self.params, self.backend, io, (batch_size,), track_overflow
             )
 
     def quantize(self, matrices: np.ndarray):
@@ -349,16 +382,19 @@ class BatchedMatrixInversion:
             matrices, p.qfloat_len, p.qfloat_ints, p.qfloat_base
         )
 
-    def dequantize(self, out) -> np.ndarray:
+    def dequantize(self, out):
         p = self.params
         if self.io == "packed":
             from ..models.marshal import mags_and_signs_to_float_matrix
 
-            mags, signs = out
-            return mags_and_signs_to_float_matrix(
+            mags, signs = out[0], out[1]
+            matrices = mags_and_signs_to_float_matrix(
                 np.asarray(mags), np.asarray(signs),
                 p.qfloat_len, p.qfloat_ints, p.qfloat_base,
             )
+            if self.track_overflow:
+                return matrices, np.asarray(out[2])
+            return matrices
         return qfloat_and_signs_arrays_to_float_matrix(
             np.asarray(out), p.qfloat_ints, p.qfloat_base
         )
@@ -367,7 +403,9 @@ class BatchedMatrixInversion:
         """Device input tensors -> device output tensors (async)."""
         return self.circuit(*device_args)
 
-    def run(self, matrices: np.ndarray) -> np.ndarray:
+    def run(self, matrices: np.ndarray):
+        """Invert a (B, n, n) float batch.  Returns the (B, n, n) inverses,
+        or ``(inverses, overflowed)`` when ``track_overflow`` is set."""
         p = self.params
         assert matrices.shape == (self.batch_size, p.n, p.n)
         a, b = self.quantize(matrices)

@@ -177,3 +177,42 @@ def test_set_tile_rows_forces_value():
         assert fi._default_tile_rows(4) == fi._TILE_ROWS_DEFAULT
     finally:
         fi.set_tile_rows(None)
+
+
+def test_batched_api_track_overflow(rng):
+    """BatchedMatrixInversion(track_overflow=True) returns (inverses,
+    flags) matching the model-level tracked circuit."""
+    import jax.numpy as jnp
+
+    from matrix_inversion_tpu.config import QFloatParams
+    from matrix_inversion_tpu.models.inverse import (
+        qfloat_matrix_inverse_with_overflow,
+    )
+
+    params = QFloatParams(n=3, qfloat_len=31, qfloat_ints=16,
+                          true_division=True)
+    B = 8
+    M = rng.randn(B, 3, 3) * 100
+    M[0, 1] = M[0, 0] * (1 + 1e-12)  # near-singular: must flag
+    inv = BatchedMatrixInversion(params, B, backend="packed", io="packed",
+                                 track_overflow=True)
+    out, flags = inv.run(M)
+    assert out.shape == (B, 3, 3) and flags.shape == (B,)
+    assert flags[0] == 1
+    a, b = inv.quantize(M)
+    ref = qfloat_matrix_inverse_with_overflow(
+        jnp.asarray(a, jnp.int64), jnp.asarray(b, jnp.int64), 3,
+        params.qfloat_len, params.qfloat_ints, params.qfloat_base,
+        params.true_division,
+    )
+    np.testing.assert_array_equal(flags, np.asarray(ref[2]))
+    # plain API on the same inputs gives identical inverses
+    plain = BatchedMatrixInversion(params, B, backend="packed", io="packed")
+    np.testing.assert_array_equal(out, plain.run(M))
+
+
+def test_batched_api_track_requires_packed_io():
+    from matrix_inversion_tpu.config import QFloatParams
+
+    with pytest.raises(ValueError, match="track_overflow requires"):
+        BatchedMatrixInversion(QFloatParams(n=3), 8, track_overflow=True)
