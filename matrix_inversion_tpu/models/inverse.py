@@ -145,12 +145,13 @@ def qfloat_matrix_inverse(
 #   scan:   compile nearly flat in n (39s at n=10, 15s CPU at n=16) at
 #           ~2x slower execution — the only practical choice for huge n.
 # Large-n fused measured round 4 (262k batch; n=10 at 131k, tile 16):
-# n=7 16.1M, n=8 13.0M, n=10 8.4M inv/s — 15-22x the XLA lowerings at
-# those sizes (unroll 874k at n=8, vec 378k at n=10) — at 140-300s cold
-# compiles (amortized by the persistent compilation cache).  Auto
-# therefore picks fused through n=10, every size the reference publishes.
-# Beyond that the ~n^3 kernel-body compile growth is unmeasured, so auto
-# hands over to vec/scan (fused stays available via lowering="fused").
+# n=7 16.1M, n=8 13.0M, n=10 8.4M inv/s — 4.5-6.3x the best SAME-DAY XLA
+# lowering (unroll n=8 2.86M compile 391s, n=10 1.34M compile 665s;
+# lowering.json @2026-08-21) at roughly half the cold compile (140-300s,
+# amortized by the persistent compilation cache).  Auto therefore picks
+# fused through n=10, every size the reference publishes.  Beyond that
+# the ~n^3 kernel-body compile growth is unmeasured, so auto hands over
+# to vec/scan (fused stays available via lowering="fused").
 FUSED_MAX_N = 10
 UNROLL_MAX_N = 8
 VEC_MAX_N = 12
