@@ -143,7 +143,11 @@ class EncryptedMatrixInversion:
         tensorize=False,
         backend="auto",
         io="digits",
+        track_overflow=False,
     ):
+        """``track_overflow=True`` (packed io only): ``run`` returns
+        ``(inverse, overflowed)`` with a scalar int overflow flag (the
+        reference's open TODO — see BatchedMatrixInversion)."""
         self.shape = (n, n)
         self.params = QFloatParams(
             n=n,
@@ -162,9 +166,12 @@ class EncryptedMatrixInversion:
                 "packed io requires the packed backend (base=2^k encoding "
                 "that fits in int64)"
             )
+        if track_overflow and io != "packed":
+            raise ValueError("track_overflow requires io='packed'")
         # packed io: 1 magnitude word per cell on both sides of the circuit
         # instead of `qfloat_len` digit words (qfloat_len x less I/O)
         self.io = io
+        self.track_overflow = track_overflow
 
         if sampler is not None:
             # interface parity with the reference input set validation
@@ -175,11 +182,15 @@ class EncryptedMatrixInversion:
                 assert np.issubdtype(sample.dtype, np.floating)
                 assert sample.shape == self.shape
 
-        self._fn = _circuit_fn(self.params, self.backend, io)
-        self._jitted = _jitted_circuit(self.params, self.backend, io)
+        self._fn = _circuit_fn(self.params, self.backend, io, track_overflow)
+        self._jitted = _jitted_circuit(
+            self.params, self.backend, io, track_overflow
+        )
         # "compile" — the reference's minutes-long concrete step is an XLA
         # AOT compile here (reference main.py:66), memoized per config
-        self.circuit = _compiled_circuit(self.params, self.backend, io, ())
+        self.circuit = _compiled_circuit(
+            self.params, self.backend, io, (), track_overflow
+        )
 
     # ---- lifecycle steps (reference main.py:68-91) ------------------------
     def keygen(self):
@@ -215,21 +226,26 @@ class EncryptedMatrixInversion:
             return tuple(np.asarray(o) for o in out)
         return np.asarray(out)
 
-    def dequantize(self, quantized_inverted_matrix) -> np.ndarray:
+    def dequantize(self, quantized_inverted_matrix):
         p = self.params
         if self.io == "packed":
             from ..models.marshal import mags_and_signs_to_float_matrix
 
-            mags, signs = quantized_inverted_matrix
-            return mags_and_signs_to_float_matrix(
+            mags, signs = quantized_inverted_matrix[:2]
+            matrix = mags_and_signs_to_float_matrix(
                 np.asarray(mags), np.asarray(signs),
                 p.qfloat_len, p.qfloat_ints, p.qfloat_base,
             )
+            if self.track_overflow:
+                return matrix, int(np.asarray(quantized_inverted_matrix[2]))
+            return matrix
         return qfloat_and_signs_arrays_to_float_matrix(
             quantized_inverted_matrix, p.qfloat_ints, p.qfloat_base
         )
 
-    def run(self, matrix: np.ndarray, simulate=False) -> np.ndarray:
+    def run(self, matrix: np.ndarray, simulate=False):
+        """Invert one matrix.  Returns the (n, n) inverse, or
+        ``(inverse, overflowed)`` when ``track_overflow`` is set."""
         assert np.issubdtype(matrix.dtype, np.floating)
         assert matrix.shape == self.shape
 
@@ -250,10 +266,11 @@ class EncryptedMatrixInversion:
                 )
             else:
                 quantized_inverted = np.asarray(quantized_inverted)
-        inverted = self.dequantize(quantized_inverted)
+        out = self.dequantize(quantized_inverted)
+        inverted = out[0] if self.track_overflow else out
         assert np.issubdtype(inverted.dtype, np.floating)
         assert inverted.shape == self.shape
-        return inverted
+        return out
 
 
 class BatchedMatrixInversion:

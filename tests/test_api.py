@@ -216,3 +216,20 @@ def test_batched_api_track_requires_packed_io():
 
     with pytest.raises(ValueError, match="track_overflow requires"):
         BatchedMatrixInversion(QFloatParams(n=3), 8, track_overflow=True)
+
+
+def test_single_matrix_track_overflow(rng):
+    """EncryptedMatrixInversion(track_overflow=True): (inverse, flag),
+    flag=1 on a singular matrix, 0 on a benign one; simulate matches."""
+    inv = EncryptedMatrixInversion(
+        3, qfloat_len=31, qfloat_ints=16, true_division=True,
+        io="packed", track_overflow=True,
+    )
+    M = rng.randn(3, 3) * 100
+    out, flag = inv.run(M)
+    assert out.shape == (3, 3) and flag == 0
+    np.testing.assert_array_equal(out, np.asarray(inv.run(M, simulate=True)[0]))
+    _, flag_sing = inv.run(np.zeros((3, 3)))
+    assert flag_sing == 1
+    with pytest.raises(ValueError, match="track_overflow requires"):
+        EncryptedMatrixInversion(3, track_overflow=True)
