@@ -160,3 +160,20 @@ def test_scan_lowering_requires_packed_backend(rng):
     d, s = float_matrix_to_qfloat_arrays(M, 12, 6, 3)
     with pytest.raises(ValueError, match="requires the packed backend"):
         qfloat_matrix_inverse(d, s, 3, 12, 6, 3, False, backend="limb", lowering="scan")
+
+
+def test_auto_policy_prefers_fused_on_tpu(monkeypatch):
+    """Pin the round-4 auto policy: with a fused-capable device context,
+    auto routes every published size (n<=10) to the fused kernel, then
+    hands over to vec/scan."""
+    import matrix_inversion_tpu.models.inverse as inv_mod
+
+    monkeypatch.setattr(inv_mod, "_fused_auto_ok", lambda: True)
+    for n in (2, 3, 4, 7, 10):
+        assert inv_mod._resolve_lowering("auto", n, packed_ok=True) == "fused"
+    assert inv_mod._resolve_lowering("auto", 11, packed_ok=True) == "vec"
+    assert inv_mod._resolve_lowering("auto", 13, packed_ok=True) == "scan"
+    # without packed support the fused branch must never fire
+    assert inv_mod._resolve_lowering("auto", 4, packed_ok=False) == "unroll"
+    monkeypatch.setattr(inv_mod, "_fused_auto_ok", lambda: False)
+    assert inv_mod._resolve_lowering("auto", 4, packed_ok=True) == "unroll"
