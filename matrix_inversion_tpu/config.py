@@ -9,6 +9,7 @@ keeps the Low/Medium/High precision presets as comments in code
 
 from __future__ import annotations
 
+import contextlib
 import dataclasses
 from typing import Optional
 
@@ -139,6 +140,39 @@ def knob_state() -> tuple:
         pair_qfloat._SADD_IMPL,
         fused_inverse._TILE_ROWS_OVERRIDE,
     )
+
+
+@contextlib.contextmanager
+def pinned_knob_state(knobs: tuple):
+    """Temporarily set every perf knob to a previous :func:`knob_state` tuple.
+
+    jax.jit traces lazily, so a jitted circuit cached under one knob tuple
+    can be *called* (and hence traced, on a new batch shape) after a knob
+    was flipped.  Wrapping the circuit body in this context pins the trace
+    to the knob values it was cached under (runtime/api.py).
+    """
+    from .ops import fused_inverse, packed, pair_qfloat, pallas_kernels
+
+    names = [
+        (packed, "_PALLAS_DIVISION"),
+        (packed, "_PALLAS_MUL"),
+        (packed, "_DIVISION_IMPL"),
+        (packed, "_MUL_SCAN"),
+        (packed, "_MUL_GROUP"),
+        (packed, "_MUL_TRUNC"),
+        (pallas_kernels, "_DIVISION_TILE_ROWS"),
+        (pair_qfloat, "_MUL_IMPL"),
+        (pair_qfloat, "_SADD_IMPL"),
+        (fused_inverse, "_TILE_ROWS_OVERRIDE"),
+    ]
+    saved = [getattr(mod, name) for mod, name in names]
+    for (mod, name), value in zip(names, knobs):
+        setattr(mod, name, value)
+    try:
+        yield
+    finally:
+        for (mod, name), value in zip(names, saved):
+            setattr(mod, name, value)
 
 
 # Precision presets (reference README.md:107-116, main.py:135-155).

@@ -29,12 +29,8 @@ def float_matrix_to_qfloat_arrays(M, qfloat_len, qfloat_ints, qfloat_base):
     M = np.asarray(M, dtype=np.float64)
     batch = M.shape[:-2]
     flat = M.reshape(batch + (-1,))
-    from ..runtime import native
-
-    if native.available() and flat.size >= 4096:
-        return native.quantize_digits(
-            flat, qfloat_len, qfloat_ints, qfloat_base
-        )
+    # radix dispatches large batches to the native kernel itself and always
+    # returns int64, so the dtype contract is batch-size-independent.
     digits, signs = radix.float_to_digits_and_sign(
         flat, qfloat_len, qfloat_ints, qfloat_base
     )

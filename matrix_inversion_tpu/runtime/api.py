@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import QFloatParams, knob_state
+from ..config import QFloatParams, knob_state, pinned_knob_state
 from ..models.inverse import qfloat_matrix_inverse
 from ..models.marshal import (
     float_matrix_to_qfloat_arrays,
@@ -97,7 +97,18 @@ def _jitted_circuit(params: QFloatParams, backend: str, io: str,
 @functools.lru_cache(maxsize=128)
 def _jitted_circuit_cached(params: QFloatParams, backend: str, io: str,
                            track, knobs):
-    return jax.jit(_circuit_fn_cached(params, backend, io, track, knobs))
+    fn = _circuit_fn_cached(params, backend, io, track, knobs)
+
+    # jax.jit traces lazily: a cached jitted fn called on a NEW batch shape
+    # after a knob flip would otherwise trace under the new knob values while
+    # staying cached under the old knob key.  Pin every trace to the knob
+    # tuple this entry was cached under.
+    @functools.wraps(fn)
+    def pinned(*args, **kwargs):
+        with pinned_knob_state(knobs):
+            return fn(*args, **kwargs)
+
+    return jax.jit(pinned)
 
 
 def _compiled_circuit(params: QFloatParams, backend: str, io: str,

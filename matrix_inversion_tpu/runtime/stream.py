@@ -107,7 +107,10 @@ class StreamingInverter:
                 ) from failure.exc
         finally:
             if pool:
-                pool.shutdown(wait=False)
+                # Drop finish jobs that never started so an abandoned stream
+                # doesn't keep fetching/dequantizing (or block interpreter
+                # exit on) batches nobody will consume.
+                pool.shutdown(wait=False, cancel_futures=True)
 
     def _finish(self, out):
         import jax
