@@ -53,38 +53,53 @@ def main():
     warm = inv.run_raw(mags, signs)
     sync(warm)
 
-    # chain reps through data dependencies (packed I/O output shapes equal
-    # the input shapes), so one final host fetch fences ALL reps even where
-    # async dispatch makes per-rep blocking unreliable; the single tunnel
-    # round-trip is amortized over the chain.  >=3 independent timing
-    # passes: the median is reported and the spread recorded (cross-day
-    # chip/tunnel variance is up to ~25%, NOTES.md — a single number can't
-    # tell a regression from noise).
-    from matrix_inversion_tpu.utils.timing import timed_chain
+    # Marginal-rate timing: chains of `reps` and `2*reps` data-dependent
+    # calls are timed (>=3 passes each, medians) and differenced.  The
+    # difference cancels the FIXED per-pass host-sync cost — measured at
+    # 5-80 ms through the axon tunnel depending on the session
+    # (benchmarks/results/trace_smalln.json) — which the old
+    # `batch*reps/elapsed` method silently folded into the rate (it
+    # understated n=4 by ~2x in the round-5 session and its drift was most
+    # of the recorded cross-round variance).  The raw chain numbers are
+    # still recorded below for auditability.
+    from matrix_inversion_tpu.utils.timing import timed_marginal
 
     step = lambda st: inv.run_raw(*st)
-    elapsed, spread = timed_chain(step, sync, (mags, signs), reps, repeats)
-    throughput = batch * reps / elapsed
+    per_rep, spread = timed_marginal(step, sync, (mags, signs), reps, repeats)
+    throughput = batch / per_rep
 
     # correctness spot check on a slice (single application, from warmup)
     res = inv.dequantize((np.asarray(warm[0])[:64], np.asarray(warm[1])[:64]))
     err = float(np.mean(np.abs(res - np.linalg.inv(M[:64]))))
 
+    # the OLD methodology's number (fixed sync cost included), for
+    # continuity with rounds 1-4 artifacts
+    chain = spread["chain_reps"]
+    legacy_rate = batch * reps / chain["elapsed_median_s"]
+
+    methodology = "marginal"
+    if not spread["marginal_reliable"]:
+        # per-rep work below sync-noise floor (tiny batch/reps smoke runs):
+        # the difference would divide noise — report the raw chain rate
+        throughput = legacy_rate
+        methodology = "chain"
+
     result = {
         "metric": "n4_high_precision_inversions_per_s_per_chip",
         "value": round(throughput, 1),
+        "methodology": methodology,
         "unit": "inversions/s",
         "vs_baseline": round(throughput / 1e5, 4),
         "batch": batch,
         "reps": reps,
-        "elapsed_s": round(elapsed, 4),
+        "per_rep_s": spread["per_rep_s"],
+        "fixed_sync_overhead_s": spread["fixed_overhead_s"],
+        "legacy_chain_value": round(legacy_rate, 1),
         "compile_s": round(compile_s, 2),
         "mean_abs_error": err,
         "platform": platform,
         # dispersion + provenance (median over `timing_repeats` passes)
-        "value_best": round(batch * reps / spread["elapsed_min_s"], 1),
-        "value_worst": round(batch * reps / spread["elapsed_max_s"], 1),
-        "spread_pct": spread["spread_pct"],
+        "spread_pct": chain["spread_pct"],
         "timing_repeats": spread["timing_repeats"],
         "date": spread["date"],
         "device_kind": spread["device_kind"],

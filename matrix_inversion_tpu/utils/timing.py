@@ -67,3 +67,46 @@ def timed_chain(step, fence, state, reps, repeats=3):
         "device_kind": getattr(dev, "device_kind", str(dev)),
     }
     return med, stats
+
+
+def timed_marginal(step, fence, state, reps, repeats=3):
+    """Marginal (per-rep) cost of ``step``, robust to fixed sync overhead.
+
+    The round-5 device trace showed that every :func:`timed_chain` pass
+    pays a large FIXED cost on top of the per-rep device work — the final
+    host sync through the axon tunnel, measured at 5-80 ms depending on
+    the session (benchmarks/results/trace_smalln.json).  At 10 reps that
+    fixed cost dominated the historical small-n numbers (n=2 "226M" vs a
+    706M device-only rate the same day) and its drift across sessions is
+    most of the recorded cross-round "chip window" variance.
+
+    This helper times chains of ``reps`` and ``2*reps`` calls
+    (``repeats`` passes each, medians) and differences them, cancelling
+    the fixed cost exactly.  Returns ``(per_rep_s, stats)``; ``stats``
+    additionally records the implied fixed overhead per pass and both raw
+    chain timings, so artifacts stay auditable against the old method.
+    """
+    lo, lo_stats = timed_chain(step, fence, state, reps, repeats)
+    hi, hi_stats = timed_chain(step, fence, state, 2 * reps, repeats)
+    jitter = max(
+        lo_stats["elapsed_max_s"] - lo_stats["elapsed_min_s"],
+        hi_stats["elapsed_max_s"] - hi_stats["elapsed_min_s"],
+    )
+    # the difference only means something when it clears the pass-to-pass
+    # jitter; otherwise (tiny per-rep work vs a noisy sync) flag it so
+    # callers fall back to the raw chain number instead of dividing noise
+    reliable = (hi - lo) > 3.0 * jitter
+    per_rep = max((hi - lo) / reps, 1e-12)
+    stats = {
+        "per_rep_s": round(per_rep, 6),
+        "fixed_overhead_s": round(lo - reps * per_rep, 4),
+        "marginal_reliable": bool(reliable),
+        "chain_reps": lo_stats,
+        "chain_2reps": hi_stats,
+        "reps": reps,
+        "timing_repeats": repeats,
+        "date": lo_stats["date"],
+        "platform": lo_stats["platform"],
+        "device_kind": lo_stats["device_kind"],
+    }
+    return per_rep, stats
