@@ -292,12 +292,30 @@ def cmd_e2e(args):
     if os.path.exists(prior):
         with open(prior) as fh:
             results = json.load(fh)
+    # keys renamed round 5 (serial split into measured vs no-transfer
+    # estimate); drop the stale names so the artifact can't show both
+    for stale in (
+        "native/serial_inversions_per_s",
+        "numpy/serial_inversions_per_s",
+        "methodology_note",
+    ):
+        results.pop(stale, None)
     results.update({
         "config": f"{args.preset}/n={args.n}",
         "batch": args.batch,
         "n_batches_streamed": args.nbatches,
         "date": datetime.date.today().isoformat(),
         "platform": jax.devices()[0].platform,
+        "methodology_note": (
+            "serial_measured = the same quantize->device_put->run->fetch->"
+            "dequantize stages the streamed path runs, executed "
+            "sequentially (transfers included, measured); "
+            "serial_est_no_transfer = host phases + device compute only "
+            "(the co-located-host floor, what a host with local PCIe/ICI "
+            "would see).  Through the axon tunnel the ~67MB packed batches "
+            "dominate both paths; streamed-vs-serial_measured is the fair "
+            "overlap A/B."
+        ),
     })
 
     # device-only reference rate (chained reps, same as the headline bench)
@@ -336,9 +354,37 @@ def cmd_e2e(args):
             tdq = time.time() - t0
             results[f"{label}/quantize_s_per_batch"] = round(tq, 3)
             results[f"{label}/dequantize_s_per_batch"] = round(tdq, 3)
-            results[f"{label}/serial_inversions_per_s"] = round(
+            # arithmetic estimate: host phases + device compute, NO
+            # host<->device transfer time (the co-located-host floor)
+            results[f"{label}/serial_est_no_transfer_inversions_per_s"] = round(
                 args.batch / (tq + dev_elapsed / args.nbatches + tdq), 1
             )
+
+            # MEASURED serial pipeline: the exact same stages the streamed
+            # path runs (quantize -> device_put -> run -> fetch ->
+            # dequantize), executed sequentially.  This is the honest
+            # baseline for the streamed A/B: both pay the transfers.
+            serial_rates = []
+            for _ in range(args.repeats):
+                t0 = time.time()
+                count = 0
+                for _ in range(args.nbatches):
+                    a, b = inv.quantize(M)
+                    dm = jax.device_put(jnp.asarray(a, jnp.int64))
+                    ds = jax.device_put(jnp.asarray(b, jnp.int64))
+                    o = inv.run_raw(dm, ds)
+                    jax.block_until_ready(o)
+                    host = tuple(np.asarray(x) for x in o)
+                    r = inv.dequantize(host)
+                    count += r.shape[0]
+                serial_rates.append(count / (time.time() - t0))
+            serial_rates.sort()
+            results[f"{label}/serial_measured_inversions_per_s"] = round(
+                serial_rates[len(serial_rates) // 2], 1
+            )
+            results[f"{label}/serial_measured_inversions_per_s_all"] = [
+                round(r, 1) for r in serial_rates
+            ]
 
             # streamed (pipelined) sustained rate, >= 2 timing passes
             rates = []
@@ -371,6 +417,13 @@ def cmd_e2e(args):
         results.get("numpy/streamed_inversions_per_s", 0),
     )
     results["streamed_fraction_of_device_rate"] = round(best / dev, 3)
+    for label in ("native", "numpy"):
+        st = results.get(f"{label}/streamed_inversions_per_s")
+        se = results.get(f"{label}/serial_measured_inversions_per_s")
+        if st and se:
+            results[f"{label}/streamed_over_serial_measured"] = round(
+                st / se, 2
+            )
     write_result("e2e", results)
 
 
@@ -390,7 +443,26 @@ def cmd_rooflines(args):
     with open(fused_path) as fh:
         fused = json.load(fh)
 
-    rates = {"default": args.rate} if args.rate else None
+    # Denominator precedence: explicit --rate > same-chip kernel-blend
+    # ubench (u32_kernelmix: a straight-line chain with the fused kernel's
+    # own primitive proportions, constants for shifts/masks — the
+    # empirical issue bound for this op BLEND, which a uniform u32-add
+    # rate understates because u32<->i32 converts are ~free and the VPU
+    # dual-issues across ports) > the conservative u32-add default.
+    rate_label = "explicit --rate"
+    rate = args.rate
+    if not rate:
+        upath = os.path.join(RESULTS_DIR, "ubench.json")
+        if os.path.exists(upath):
+            with open(upath) as fh:
+                ub = json.load(fh)
+            if "u32_kernelmix" in ub:
+                rate = ub["u32_kernelmix"] * 1e9
+                rate_label = (
+                    f"u32_kernelmix ubench {ub.get('date', '?')} "
+                    f"({ub['u32_kernelmix']/1e3:.2f}T elem-ops/s)"
+                )
+    rates = {"default": rate} if rate else None
     per_n = {}
     for n in [int(s) for s in args.sizes.split(",")]:
         key = f"{args.preset}/n={n}/fused"
@@ -400,6 +472,8 @@ def cmd_rooflines(args):
             measured_rates=rates,
         )
         roof.pop("kernel_op_histogram", None)  # bulky; keep the scalars
+        if rates:
+            roof["rate_source"] = rate_label
         if measured:
             roof["measured_date"] = fused[key].get("date")
             roof["measured_spread_pct"] = fused[key].get("spread_pct")

@@ -75,6 +75,39 @@ def it_f32(x, y):          # 2 f32 muls
     return x, y, 2
 
 
+def it_maskand(x, y):      # 2 adds + 1 constant-mask and (kernel pattern)
+    x = (x + y) & U32(0x3FFFFFFF)
+    y = y + x
+    return x, y, 3
+
+
+def it_convert(x, y):      # 2 adds + 2 u32<->i32 converts (kernel pattern)
+    x = (x.astype(jnp.int32) + y.astype(jnp.int32)).astype(U32)
+    y = y + x
+    return x, y, 4
+
+
+def it_kernelmix(x, y):
+    """~n=4 fused-kernel primitive proportions, nominal 20 ops/iter.
+
+    Mirrors utils/roofline.kernel_op_histogram(n=4): and 23% / sub 14% /
+    add 14% / convert 9% / shr 9% / shl 9% / mul 5% / or 5% / cmp+sel 9%,
+    with shifts and masks by CONSTANTS exactly as the kernel emits them.
+    The measured rate of this chain (counting every nominal op, converts
+    included) is the empirical issue bound for the kernel's op blend.
+    """
+    a = x & U32(0xFFFF)                          # and
+    b = (y >> U32(16)) & U32(0x7FFF)             # shr, and
+    c = (a * b) & U32(0x3FFFFFFF)                # mul, and
+    d = (x - y) + (c - b)                        # sub, add, sub
+    e = (c << U32(3)) | (d >> U32(5))            # shl, or, shr
+    f = (e.astype(jnp.int32) - jnp.int32(7)).astype(U32)  # convert, sub, convert
+    g = jnp.where(x < y, f, e)                   # lt, select
+    x = ((g + a) ^ (g << U32(1))) & U32(0x7FFFFFFF)       # add, xor, shl, and
+    y = y + x                                    # add
+    return x, y, 22
+
+
 MIXES = {
     "u32_add": (it_add, U32),
     "u32_mul": (it_mul, U32),
@@ -82,6 +115,9 @@ MIXES = {
     "u32_shr_xor_add": (it_shxor, U32),
     "u32_cmp_sel_add": (it_sel, U32),
     "f32_mul": (it_f32, jnp.float32),
+    "u32_maskand": (it_maskand, U32),
+    "u32_convert_add": (it_convert, U32),
+    "u32_kernelmix": (it_kernelmix, U32),
 }
 
 
@@ -138,13 +174,30 @@ def measure(name, rows=512, C=8, reps=100, K1=256, K2=2048):
 
 
 def main():
+    import datetime
+    import os
+
     names = sys.argv[1:] or list(MIXES)
-    out = {"platform": jax.devices()[0].platform}
+    out = {
+        "platform": jax.devices()[0].platform,
+        "device_kind": getattr(jax.devices()[0], "device_kind", ""),
+        "date": datetime.date.today().isoformat(),
+    }
     for name in names:
         rate = measure(name)
         out[name] = round(rate / 1e9, 1)  # G elem-ops/s
         print(json.dumps({name: out[name]}), flush=True)
     print(json.dumps(out))
+    # merge into the dated artifact the roofline table reads
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "results", "ubench.json")
+    prior = {}
+    if os.path.exists(path):
+        with open(path) as fh:
+            prior = json.load(fh)
+    prior.update(out)
+    with open(path, "w") as fh:
+        json.dump(prior, fh, indent=1)
 
 
 if __name__ == "__main__":
