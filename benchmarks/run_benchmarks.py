@@ -249,8 +249,10 @@ def cmd_fused(args):
                     **stats,
                 }
                 if vname == "fused" and tile is None:
+                    brate, _ = _blend_rate()
                     roof = kernel_roofline(
-                        measured_inversions_per_s=rate, n=n, preset=args.preset
+                        measured_inversions_per_s=rate, n=n, preset=args.preset,
+                        measured_rates={"default": brate} if brate else None,
                     )
                     entry["ops_per_inversion_kernel"] = roof[
                         "ops_per_inversion_kernel"
@@ -427,6 +429,31 @@ def cmd_e2e(args):
     write_result("e2e", results)
 
 
+def _blend_rate(explicit=None):
+    """Issue-rate denominator for MFU numbers, with provenance label.
+
+    Precedence: explicit value > same-chip kernel-blend ubench
+    (u32_kernelmix: a straight-line chain with the fused kernel's own
+    primitive proportions, constants for shifts/masks — the empirical
+    issue bound for this op BLEND, which a uniform u32-add rate
+    understates because u32<->i32 converts are ~free and the VPU
+    dual-issues across ports) > None (caller falls back to the
+    conservative u32-add default).
+    """
+    if explicit:
+        return explicit, "explicit --rate"
+    upath = os.path.join(RESULTS_DIR, "ubench.json")
+    if os.path.exists(upath):
+        with open(upath) as fh:
+            ub = json.load(fh)
+        if "u32_kernelmix" in ub:
+            return ub["u32_kernelmix"] * 1e9, (
+                f"u32_kernelmix ubench {ub.get('date', '?')} "
+                f"({ub['u32_kernelmix']/1e3:.2f}T elem-ops/s)"
+            )
+    return None, "default-v5e-ubench (u32 add)"
+
+
 def cmd_rooflines(args):
     """Per-n measured-rate roofline table (round-3 verdict missing #3).
 
@@ -443,26 +470,23 @@ def cmd_rooflines(args):
     with open(fused_path) as fh:
         fused = json.load(fh)
 
-    # Denominator precedence: explicit --rate > same-chip kernel-blend
-    # ubench (u32_kernelmix: a straight-line chain with the fused kernel's
-    # own primitive proportions, constants for shifts/masks — the
-    # empirical issue bound for this op BLEND, which a uniform u32-add
-    # rate understates because u32<->i32 converts are ~free and the VPU
-    # dual-issues across ports) > the conservative u32-add default.
-    rate_label = "explicit --rate"
-    rate = args.rate
-    if not rate:
-        upath = os.path.join(RESULTS_DIR, "ubench.json")
-        if os.path.exists(upath):
-            with open(upath) as fh:
-                ub = json.load(fh)
-            if "u32_kernelmix" in ub:
-                rate = ub["u32_kernelmix"] * 1e9
-                rate_label = (
-                    f"u32_kernelmix ubench {ub.get('date', '?')} "
-                    f"({ub['u32_kernelmix']/1e3:.2f}T elem-ops/s)"
-                )
+    rate, rate_label = _blend_rate(args.rate)
     rates = {"default": rate} if rate else None
+
+    # device-only (in-program lax.fori_loop chained, one dispatch) rates
+    # where benchmarks/trace_smalln.py has measured them — the dispatched
+    # marginal rate in fused.json additionally pays the ~2-3 ms
+    # per-execution tunnel launch cost (independent dispatches pipeline
+    # no better: measured 7.25 ms/rep marginal either way at n=3)
+    device_rates = {}
+    tpath = os.path.join(RESULTS_DIR, "trace_smalln.json")
+    if os.path.exists(tpath):
+        with open(tpath) as fh:
+            tr = json.load(fh)
+        for k, v in tr.items():
+            if k.startswith("n=") and isinstance(v, dict):
+                device_rates[int(k[2:])] = v.get("device_rate_M", 0) * 1e6
+
     per_n = {}
     for n in [int(s) for s in args.sizes.split(",")]:
         key = f"{args.preset}/n={n}/fused"
@@ -474,9 +498,35 @@ def cmd_rooflines(args):
         roof.pop("kernel_op_histogram", None)  # bulky; keep the scalars
         if rates:
             roof["rate_source"] = rate_label
+        bound = roof["roofline_inversions_per_s_measured_rates"]
+
+        def mfu(rate_inv_s, label):
+            """MFU vs the blend bound, bounded by construction: a rate
+            above the bound is PROOF the jaxpr op count overcounts what
+            Mosaic executes at this n (the implied nominal elem-ops/s
+            would exceed the measured issue rate of this very op blend),
+            so report the certified minimum overcount instead of a
+            >100% utilization."""
+            if rate_inv_s <= bound:
+                roof[f"mfu_pct_{label}"] = round(100.0 * rate_inv_s / bound, 2)
+            else:
+                roof[f"mfu_pct_{label}"] = 100.0
+                roof[f"{label}_at_issue_bound"] = True
+                roof[f"{label}_op_count_overcount_min_pct"] = round(
+                    100.0 * (rate_inv_s / bound - 1.0), 1
+                )
+
+        roof.pop("mfu_pct_vs_measured_roofline", None)
         if measured:
             roof["measured_date"] = fused[key].get("date")
-            roof["measured_spread_pct"] = fused[key].get("spread_pct")
+            roof["measured_spread_pct"] = fused[key].get(
+                "spread_pct",
+                fused[key].get("chain_reps", {}).get("spread_pct"),
+            )
+            mfu(measured, "dispatched")
+        if device_rates.get(n):
+            roof["device_only_inversions_per_s"] = device_rates[n]
+            mfu(device_rates[n], "device_only")
         per_n[f"n={n}"] = roof
         print(f"n={n}", roof, flush=True)
 
@@ -487,10 +537,27 @@ def cmd_rooflines(args):
             results = json.load(fh)
     results["per_n"] = per_n
     results["per_n_note"] = (
-        "MFU is vs the conservative measured u32 issue rate; the small-n "
-        "shortfall is per-launch chunk-loop overhead, not issue-rate "
-        "headroom — measured by a copy-only kernel through the identical "
-        "plumbing (NOTES.md round 4)."
+        "Round-5 model: the denominator is the MEASURED issue rate of the "
+        "kernel's own op blend (u32_kernelmix ubench — jaxpr-counted ops "
+        "including converts/const-masks, which Mosaic issues nearly free; "
+        "a uniform u32-add denominator made n>=5 read >100% and is "
+        "retired).  Two numerators: mfu_pct_dispatched = the marginal "
+        "per-dispatch rate a caller gets through the axon tunnel (pays a "
+        "measured ~2-3 ms per-execution launch cost, which independent "
+        "dispatches do NOT overlap); mfu_pct_device_only = the in-program "
+        "chained rate (lax.fori_loop, one dispatch; "
+        "benchmarks/trace_smalln.py) — what the chip itself sustains and "
+        "what a co-located host approaches.  MFU is bounded at 100 by "
+        "construction: where the measured rate exceeds the blend bound "
+        "(n>=6), that is proof the jaxpr count overcounts what Mosaic "
+        "executes (the implied nominal ops/s would beat the measured "
+        "issue rate of the same blend — at n=10 it would even beat the "
+        "3.85T theoretical 4-ALU peak), so the entry reports the "
+        "certified minimum overcount percentage instead; no op-level "
+        "headroom is measurable there.  Headroom statement: n=2 ~22% "
+        "(chunk-glue-bound: per the device trace the n=2 kernel is "
+        "2.8us vs 2.4us slice/update glue per chunk), n=3 ~28%, "
+        "n=4/n=5 ~6% (at the wall), n>=6 none measurable."
     )
     os.makedirs(RESULTS_DIR, exist_ok=True)
     with open(path, "w") as fh:

@@ -37,13 +37,23 @@ def main():
     from matrix_inversion_tpu.models.marshal import float_matrix_to_mags_and_signs
 
     batch = int(os.environ.get("TR_BATCH", 1 << 20))
+    sizes = tuple(
+        int(s) for s in os.environ.get("TR_SIZES", "2,3,4").split(",")
+    )
     out = {
         "batch": batch,
         "device_kind": jax.devices()[0].device_kind,
         "date": time.strftime("%Y-%m-%d"),
     }
+    path = os.path.join(os.path.dirname(__file__), "results",
+                        "trace_smalln.json")
+    if os.path.exists(path):  # merge: keep other sizes' entries
+        with open(path) as fh:
+            prior = json.load(fh)
+        prior.update(out)
+        out = prior
 
-    for n in (2, 3, 4):
+    for n in sizes:
         p = mi.HIGH.replace(n=n)
         body = functools.partial(
             qfloat_matrix_inverse_packed_io,

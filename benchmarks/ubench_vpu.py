@@ -184,7 +184,14 @@ def main():
         "date": datetime.date.today().isoformat(),
     }
     for name in names:
-        rate = measure(name)
+        if name == "u32_kernelmix":
+            # 22 ops/iter: the standard K=2048 unrolls to a ~360k-op
+            # straight-line program the Mosaic compiler chews on for
+            # >50 min.  Differencing is K-invariant; use smaller chains
+            # (K=256 -> 45k ops, same ballpark as the other mixes).
+            rate = measure(name, K1=48, K2=256)
+        else:
+            rate = measure(name)
         out[name] = round(rate / 1e9, 1)  # G elem-ops/s
         print(json.dumps({name: out[name]}), flush=True)
     print(json.dumps(out))

@@ -17,12 +17,18 @@ Cost model:
 * data movement (reshape/broadcast/slice/concat/convert/gather) costs 0 —
   this is an ALU roofline, not a bandwidth roofline.
 
-VPU bound: the default is the MEASURED v5e u32 issue rate (1.5e12
+VPU bound: the default is the MEASURED v5e u32-add issue rate (1.5e12
 elem-ops/s, benchmarks/ubench_vpu.py — straight-line Pallas chains, launch
 cost differenced out).  The old theoretical 4-ALU figure (8*128*4*0.94e9
-~= 3.85e12) was shown unachievable by those microbenchmarks (the measured
-best-mix rate is ~2.5e12) and is retired; pass ``vpu_ops_per_s``
-explicitly to analyze against a different bound.
+~= 3.85e12) was shown unachievable by those microbenchmarks and is
+retired.  NOTE (round 5): the add rate is itself conservative for mixed
+programs — the issue rate depends strongly on port mix (shift/cmp/select
+mixes sustain 2.2-2.4T, and the fused kernel's own blend 2.67T, because
+constant-mask ANDs and u32<->i32 converts are near-free; see
+benchmarks/results/ubench.json).  The benchmark driver therefore passes
+the measured kernel-blend rate via ``measured_rates``
+(benchmarks/run_benchmarks.py:_blend_rate); the 1.5T default is only the
+fallback when no same-chip calibration artifact exists.
 """
 
 from __future__ import annotations
