@@ -2,8 +2,16 @@
 
 Production serving path: a background thread quantizes batch k+1 (using the
 native C++ marshaller) and transfers it while the device inverts batch k,
-so sustained throughput approaches the device-compute bound instead of
-host+device serialized time.  The reference has no analog (it runs one
+and a finish pool overlaps the fetch+dequantize tail, so sustained
+throughput approaches max(host stage, transfer, device compute) instead of
+their SUM.  Measured (benchmarks/results/e2e.json, 2026-08-21): 1.25x the
+like-for-like serial pipeline on this host (97.1k vs 77.9k float-in/
+float-out inversions/s at n=4 High, 262k batches).  Caveat on the absolute
+number: this development host reaches the TPU through a network tunnel
+whose ~67 MB/batch transfers bound BOTH paths far below the device rate
+(~17M inv/s here); on a co-located host the serialized host phases are the
+binding floor instead (~530k inv/s measured without transfers) and the
+same overlap applies to them.  The reference has no analog (it runs one
 inversion per process invocation); this is the TPU-native "data loader"
 component.
 """
