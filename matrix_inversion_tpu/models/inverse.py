@@ -128,15 +128,18 @@ def qfloat_matrix_inverse(
 
 # Auto lowering policy, grounded in on-chip v5e measurements
 # (benchmarks/results/lowering.json, 65k batch, High preset; per-n fused
-# figures re-measured round 4 at a fixed 1M batch with dispersion,
-# benchmarks/results/fused.json, 2026-08-21):
-#   fused:  whole-inversion Pallas kernel (ops/fused_inverse.py) — 73.3M
-#           n=4 High inversions/s at 1M batch (~96% of the measured VPU
-#           issue-rate roofline; n=2 226M, n=3 99.5M, n=5 41.8M) vs the
-#           XLA unroll's ~23-28M (HBM-traffic-bound; the kernel is
-#           VMEM-resident).  Auto-selected on single-chip TPU for
-#           n <= FUSED_MAX_N; multi-device TPU processes get the
-#           shard_map form via BatchedMatrixInversion(data_parallel) or
+# figures re-measured round 5 with MARGINAL-rate timing — the fixed
+# 5-80 ms tunnel sync is differenced out, utils/timing.timed_marginal —
+# at a fixed 1M batch (n<=5) / 262k (n>=6), benchmarks/results/
+# fused.json, 2026-08-21):
+#   fused:  whole-inversion Pallas kernel (ops/fused_inverse.py) — 87.3M
+#           n=4 High inversions/s dispatched, 121M device-only (94% of
+#           the measured kernel-blend issue bound, results/roofline.json;
+#           n=2 711M, n=3 145M, n=5 48.7M) vs the XLA unroll's ~25M
+#           (HBM-traffic-bound; the kernel is VMEM-resident).
+#           Auto-selected on single-chip TPU for n <= FUSED_MAX_N;
+#           multi-device TPU processes get the shard_map form via
+#           BatchedMatrixInversion(data_parallel) or
 #           parallel.mesh.data_parallel_inverse_fused.
 #   unroll: fastest XLA lowering through n=8 (874k vs vec's 682k at n=8)
 #           but compile grows ~n^3 (149s at n=8, ~13 min at n=10);
@@ -144,15 +147,18 @@ def qfloat_matrix_inverse(
 #           graph);
 #   scan:   compile nearly flat in n (39s at n=10, 15s CPU at n=16) at
 #           ~2x slower execution — the only practical choice for huge n.
-# Large-n fused measured round 4 (262k batch; n=10 at 131k, tile 16):
-# n=7 16.1M, n=8 13.0M, n=10 8.4M inv/s — 4.5-6.3x the best SAME-DAY XLA
-# lowering (unroll n=8 2.86M compile 391s, n=10 1.34M compile 665s;
-# lowering.json @2026-08-21) at roughly half the cold compile (140-300s,
-# amortized by the persistent compilation cache).  Auto therefore picks
-# fused through n=10, every size the reference publishes.  Beyond that
-# the ~n^3 kernel-body compile growth is unmeasured, so auto hands over
-# to vec/scan (fused stays available via lowering="fused").
-FUSED_MAX_N = 10
+# Large-n fused (262k batch, marginal rate, round 5): n=6 51.2M, n=7
+# 24.2M, n=8 18.7M, n=9 14.6M, n=10 11.4M inv/s — 6.5x+ the best
+# same-day XLA lowering (unroll n=8 2.86M compile 391s, n=10 1.34M
+# compile 665s; lowering.json, round-4 chain timing) at roughly half the
+# cold compile (140-300s, amortized by the persistent compilation
+# cache).  Round-5 probe past the published sizes (131k batch): n=11
+# 9.73M inv/s (compile 440s), n=12 7.65M (268s; cold-compile time is
+# server-load-noisy, not strictly n^3) — 20x+ the vec/scan alternatives
+# there, so auto picks fused through n=12 (= VEC_MAX_N) and hands to
+# scan beyond; vec remains the auto choice at n=9-12 for contexts where
+# fused is unavailable (CPU backend, multi-device jit).
+FUSED_MAX_N = 12
 UNROLL_MAX_N = 8
 VEC_MAX_N = 12
 

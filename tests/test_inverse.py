@@ -163,16 +163,21 @@ def test_scan_lowering_requires_packed_backend(rng):
 
 
 def test_auto_policy_prefers_fused_on_tpu(monkeypatch):
-    """Pin the round-4 auto policy: with a fused-capable device context,
-    auto routes every published size (n<=10) to the fused kernel, then
-    hands over to vec/scan."""
+    """Pin the auto policy: with a fused-capable device context, auto
+    routes every published size and the probed n=11/12 to the fused
+    kernel, then hands over to scan."""
     import matrix_inversion_tpu.models.inverse as inv_mod
 
     monkeypatch.setattr(inv_mod, "_fused_auto_ok", lambda: True)
-    for n in (2, 3, 4, 7, 10):
+    # round 5: fused through n=12 (n=11/12 measured 20x+ the vec/scan
+    # alternatives on chip, benchmarks/results/fused.json)
+    for n in (2, 3, 4, 7, 10, 11, 12):
         assert inv_mod._resolve_lowering("auto", n, packed_ok=True) == "fused"
-    assert inv_mod._resolve_lowering("auto", 11, packed_ok=True) == "vec"
     assert inv_mod._resolve_lowering("auto", 13, packed_ok=True) == "scan"
+    # non-fused contexts keep the vec band at n=9-12
+    monkeypatch.setattr(inv_mod, "_fused_auto_ok", lambda: False)
+    assert inv_mod._resolve_lowering("auto", 11, packed_ok=True) == "vec"
+    monkeypatch.setattr(inv_mod, "_fused_auto_ok", lambda: True)
     # without packed support the fused branch must never fire
     assert inv_mod._resolve_lowering("auto", 4, packed_ok=False) == "unroll"
     monkeypatch.setattr(inv_mod, "_fused_auto_ok", lambda: False)
