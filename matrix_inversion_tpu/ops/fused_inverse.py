@@ -54,7 +54,12 @@ _TILE_ROWS_DEFAULT = 40
 # n >= 9 defaults to 16 rows: live state grows ~n^2 cells and the larger
 # tiles stop fitting the scoped-VMEM budget (n=10 measured at tile 16:
 # 8.4M inv/s, benchmarks/results/fused.json)
-_TILE_ROWS_BY_N = {2: 48, 3: 32, 5: 16, 6: 16, 9: 16, 10: 16, 11: 16, 12: 16}
+_TILE_ROWS_BY_N = {2: 128, 3: 32, 5: 16, 6: 16, 9: 16, 10: 16, 11: 16, 12: 16}
+# n=2: 128 rows measured optimal under round-5 MARGINAL timing (805M vs
+# 696M inv/s at the old 48-row default; peak confirmed against 96/112/
+# 160/256/512 neighbors, results/fused.json tile entries).  The round-4
+# chain-timing tile sweep that picked 48 folded a fixed tunnel sync into
+# every rate and is superseded.  n=3 is tile-flat (146-147M from 32-128).
 # explicit user override (set_tile_rows); None = use the per-n table above.
 # A separate flag (not a sentinel value) so set_tile_rows(40) really forces
 # 40 rows for every n instead of silently re-enabling the per-n defaults.
