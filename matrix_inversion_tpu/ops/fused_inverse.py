@@ -215,6 +215,15 @@ def fused_matrix_inverse(mags, signs, n, qfloat_len, qfloat_ints, base,
     tile_rows = tile_rows or _default_tile_rows(n)
     if not interpret and jax.default_backend() == "cpu":
         interpret = True  # Mosaic is TPU-only; CPU runs use the interpreter
+    # Measurement note (round 5): the overflow-tracked kernel variant
+    # repeatedly measured ~20% faster than the untracked one at n=2.  A
+    # controlled A/B (route untracked through the tracked kernel, then
+    # time both "variants" — now the IDENTICAL program — in the same
+    # sweep) reproduced the 28% gap anyway: it is POSITION BIAS of the
+    # measurement harness at n=2 (the second timing slot in a sweep
+    # measures faster; n=2 is the most launch-sensitive size), not a
+    # kernel property.  Do not "optimize" n=2 by adding the flag output.
+    kernel_track = track
     mags = jnp.asarray(mags, jnp.int64)
     n2 = n * n
     assert mags.shape[-1] == n2
@@ -254,9 +263,9 @@ def fused_matrix_inverse(mags, signs, n, qfloat_len, qfloat_ints, base,
     if n_chunks == 1:
         out = _fused_call(
             hi, lo, sg, n, qfloat_len, qfloat_ints, base, true_division,
-            interpret, track=track,
+            interpret, track=kernel_track,
         )
-        if track:
+        if kernel_track:
             ohi, olo, osg, ovf = out
         else:
             ohi, olo, osg = out
@@ -265,11 +274,11 @@ def fused_matrix_inverse(mags, signs, n, qfloat_len, qfloat_ints, base,
         out = lax.map(
             lambda args: _fused_call(
                 *args, n, qfloat_len, qfloat_ints, base, true_division,
-                interpret, track=track,
+                interpret, track=kernel_track,
             ),
             (chunked(hi), chunked(lo), chunked(sg)),
         )
-        if track:
+        if kernel_track:
             ohi, olo, osg, ovf = out
             ovf = ovf.reshape(rows, LANES)
         else:
